@@ -1,0 +1,67 @@
+"""Pipeline configuration (SURVEY.md S4/S5 — YAML config → config object).
+
+The reference loads ``resources/config/grobid-datacat.yaml`` into a
+``DatacatConfiguration`` bean (``DatacatConfiguration.java:23-36``,
+``GrobidDatacatMain.java:56-77``). Here a plain dataclass, loadable from a
+JSON/YAML-subset dict, carries the per-stage Ray knobs (batch sizes, actor
+pool widths, per-actor CPUs) and the document guard rails.
+
+Sizing stance for one 32-CPU node (scales by node count on a cluster):
+DOM parse + tokenize are stateless tasks (elastic); the two CRF actor pools
+split the remaining cores so the cascade pipelines instead of serializing.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass
+class StageConfig:
+    batch_size: int = 64
+    concurrency: int | tuple[int, int] | None = None
+    num_cpus: float = 1.0
+
+
+@dataclass
+class PipelineConfig:
+    # guard rails (reference token/block caps, SURVEY.md M3/M4)
+    max_tokens: int = 30_000
+    max_blocks: int = 3_000
+    # stage knobs
+    dom: StageConfig = field(default_factory=lambda: StageConfig(batch_size=128))
+    tokenize: StageConfig = field(default_factory=lambda: StageConfig(batch_size=128))
+    # actor-pool minimums stay at 1 so the pools never reserve every core
+    # and starve the upstream task stages (a (2,8)+(2,8) pair deadlocks a
+    # 4-CPU test session); the max lets the pool scale out on big nodes
+    segmenter: StageConfig = field(
+        default_factory=lambda: StageConfig(batch_size=64, concurrency=(1, 8))
+    )
+    body: StageConfig = field(
+        default_factory=lambda: StageConfig(batch_size=64, concurrency=(1, 8))
+    )
+    # output
+    output_partitions: int = 0  # 0 = leave to Ray
+    lang_fallback: str = "fr"
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "PipelineConfig":
+        cfg = cls()
+        for k, v in d.items():
+            if not hasattr(cfg, k):
+                raise KeyError(f"unknown config key: {k}")
+            cur = getattr(cfg, k)
+            if isinstance(cur, StageConfig):
+                setattr(cfg, k, StageConfig(**v))
+            else:
+                setattr(cfg, k, v)
+        return cfg
+
+    @classmethod
+    def from_json(cls, path: str) -> "PipelineConfig":
+        with open(path) as f:
+            return cls.from_dict(json.load(f))
+
+    def to_dict(self) -> dict:
+        return asdict(self)

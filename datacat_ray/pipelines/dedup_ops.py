@@ -1,0 +1,398 @@
+"""Deduplication family over the ``documents`` / ``events`` / ``embeddings``
+tables (training-data ops; SURVEY.md D1 generalized).
+
+Every variant follows the same scale shape: a vectorized per-batch
+signature stage (map_batches, no shuffle), ONE hash shuffle on the
+signature key (groupby), and per-bucket candidate verification — never an
+all-pairs pass. Partitioning key choices and small-side broadcasts are
+documented per operator.
+
+- exact dedup: content hash → groupby(hash) → min(doc_id)
+- latest-per-key (events): the D1 pattern — groupby(user_id), max(ts)
+- MinHash + LSH near-dup: char-shingles → 128 minhashes → 16 bands × 8 rows
+  → band-bucket groupby → signature-estimated Jaccard pairs
+- SimHash near-dup: token 3-grams → 64-bit simhash → 4×16-bit band blocking
+  → Hamming-verified pairs
+- n-gram Jaccard: MinHash candidates verified with EXACT shingle Jaccard
+  (texts broadcast via ``ray.put`` — valid while the candidate side is
+  small; the 100 TB path swaps the broadcast for a bucketed join on doc_id)
+- embedding near-dup: random-hyperplane LSH buckets → in-bucket cosine
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Min
+
+from datacat_ray.pipelines.text_analysis import fnv1a64
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def _content_hash_batch(batch: pa.Table) -> pa.Table:
+    hashes = [fnv1a64((t or "").encode("utf-8")) - (1 << 63) for t in
+              batch["text"].to_pylist()]
+    return pa.Table.from_pydict(
+        {"doc_id": batch["doc_id"], "text_hash": pa.array(hashes, type=pa.int64())}
+    )
+
+
+def exact_dedup(sf_dir: str) -> "ray.data.Dataset":
+    """Survivor doc_ids after exact-content dedup (keep min doc_id per
+    identical text). The shuffle moves only (doc_id, hash) pairs — the text
+    itself never crosses the exchange."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ds.map_batches(_content_hash_batch, batch_format="pyarrow")
+    out = ds.groupby("text_hash").aggregate(Min("doc_id", alias_name="doc_id"))
+    return out.select_columns(["doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# latest-per-key over events (D1 pattern, SQL-checkable)
+# ---------------------------------------------------------------------------
+
+
+def latest_events(sf_dir: str) -> "ray.data.Dataset":
+    """One row per user_id: the event with max (ts, event_id) — the same
+    keep-latest dedup the flagship pipeline applies to url captures."""
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+
+    def _latest(group: pa.Table) -> pa.Table:
+        i = pc.sort_indices(
+            group,
+            sort_keys=[("ts", "ascending"), ("event_id", "ascending")],
+        )[-1].as_py()
+        return group.slice(i, 1)
+
+    return ds.groupby("user_id").map_groups(_latest, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+N_PERM = 128
+N_BANDS = 16
+ROWS_PER_BAND = N_PERM // N_BANDS  # 8
+SHINGLE_K = 5
+_MERSENNE = (1 << 61) - 1
+_rng = np.random.RandomState(20260817)
+_MH_A = _rng.randint(1, _MERSENNE, size=N_PERM, dtype=np.int64).astype(np.uint64)
+_MH_B = _rng.randint(0, _MERSENNE, size=N_PERM, dtype=np.int64).astype(np.uint64)
+
+
+def char_shingles(text: str, k: int = SHINGLE_K) -> np.ndarray:
+    """Deterministic uint64 hashes of the k-char shingles of the lowercased,
+    whitespace-collapsed text."""
+    s = " ".join((text or "").lower().split())
+    if len(s) < k:
+        s = s.ljust(k, "_")
+    seen = {fnv1a64(s[i : i + k].encode("utf-8")) for i in range(len(s) - k + 1)}
+    return np.fromiter(seen, dtype=np.uint64, count=len(seen))
+
+
+def minhash_signature(shingles: np.ndarray) -> np.ndarray:
+    """128 minhashes via (a*x+b) mod p over the shingle-hash set."""
+    x = (shingles % _MERSENNE)[None, :]
+    vals = (_MH_A[:, None] * x + _MH_B[:, None]) % _MERSENNE
+    return vals.min(axis=1)
+
+
+def band_keys(sig: np.ndarray) -> list[int]:
+    """One signed-int64 bucket key per band: FNV over (band_id, 8 rows)."""
+    keys = []
+    for b in range(N_BANDS):
+        chunk = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
+        h = fnv1a64(bytes([b]) + chunk.astype("<u8").tobytes())
+        keys.append(h - (1 << 63))
+    return keys
+
+
+def _minhash_band_rows(batch: pa.Table) -> pa.Table:
+    """documents batch → exploded (bucket, doc_id, sig) rows, 16 per doc."""
+    doc_ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    out_bucket: list[int] = []
+    out_doc: list[int] = []
+    out_sig: list[list[int]] = []
+    for doc_id, text in zip(doc_ids, texts):
+        sig = minhash_signature(char_shingles(text))
+        sig_list = sig.astype(np.int64).tolist()
+        for key in band_keys(sig):
+            out_bucket.append(key)
+            out_doc.append(doc_id)
+            out_sig.append(sig_list)
+    return pa.Table.from_pydict(
+        {
+            "bucket": pa.array(out_bucket, type=pa.int64()),
+            "doc_id": pa.array(out_doc, type=pa.int64()),
+            "sig": pa.array(out_sig, type=pa.list_(pa.int64())),
+        }
+    )
+
+
+MAX_BUCKET = 64  # skew guard: a hotter bucket than this is boilerplate-like;
+# cap the pairs emitted per bucket (documented silent-cap: logged via count)
+
+
+def _bucket_pairs(group: pa.Table, threshold: float) -> pa.Table:
+    n = group.num_rows
+    a_col, b_col, est = [], [], []
+    if 2 <= n <= MAX_BUCKET:
+        doc_ids = group["doc_id"].to_pylist()
+        sigs = np.array(group["sig"].to_pylist(), dtype=np.int64)
+        order = np.argsort(doc_ids, kind="stable")
+        for ii in range(n):
+            for jj in range(ii + 1, n):
+                i, j = order[ii], order[jj]
+                if doc_ids[i] == doc_ids[j]:
+                    continue
+                jac = float(np.mean(sigs[i] == sigs[j]))
+                if jac >= threshold:
+                    a, b = sorted((doc_ids[i], doc_ids[j]))
+                    a_col.append(a)
+                    b_col.append(b)
+                    est.append(round(jac, 6))
+    return pa.Table.from_pydict(
+        {
+            "doc_a": pa.array(a_col, type=pa.int64()),
+            "doc_b": pa.array(b_col, type=pa.int64()),
+            "est_jaccard": pa.array(est, type=pa.float64()),
+        }
+    )
+
+
+def minhash_candidate_pairs(
+    sf_dir: str, threshold: float = 0.7
+) -> "ray.data.Dataset":
+    """Near-duplicate pairs by MinHash-LSH, deduplicated across bands via a
+    final groupby on (doc_a, doc_b)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    bands = ds.map_batches(_minhash_band_rows, batch_format="pyarrow")
+    pairs = bands.groupby("bucket").map_groups(
+        lambda g: _bucket_pairs(g, threshold), batch_format="pyarrow"
+    )
+    from ray.data.aggregate import Max
+
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Max("est_jaccard", alias_name="est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over token 3-grams (unsigned value in int64 carrier)."""
+    words = (text or "").lower().split()
+    grams = (
+        [" ".join(words[i : i + 3]) for i in range(len(words) - 2)]
+        if len(words) >= 3
+        else [" ".join(words)] if words else [""]
+    )
+    votes = np.zeros(64, dtype=np.int64)
+    for g in grams:
+        h = fnv1a64(g.encode("utf-8"))
+        bits = (h >> np.arange(64)) & 1
+        votes += 2 * bits - 1
+    h = 0
+    for i in range(64):
+        if votes[i] > 0:
+            h |= 1 << i
+    return h - (1 << 63)
+
+
+def _simhash_batch(batch: pa.Table) -> pa.Table:
+    hs = [simhash64(t) for t in batch["text"].to_pylist()]
+    return pa.Table.from_pydict(
+        {"doc_id": batch["doc_id"], "simhash": pa.array(hs, type=pa.int64())}
+    )
+
+
+def simhash_signatures(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(_simhash_batch, batch_format="pyarrow")
+
+
+def _simhash_band_rows(batch: pa.Table) -> pa.Table:
+    doc_ids = batch["doc_id"].to_pylist()
+    hashes = batch["simhash"].to_pylist()
+    rows = {"bucket": [], "doc_id": [], "simhash": []}
+    for d, h in zip(doc_ids, hashes):
+        u = h + (1 << 63)
+        for b in range(4):
+            band_bits = (u >> (16 * b)) & 0xFFFF
+            rows["bucket"].append((b << 16) | band_bits)
+            rows["doc_id"].append(d)
+            rows["simhash"].append(h)
+    return pa.Table.from_pydict(
+        {
+            "bucket": pa.array(rows["bucket"], type=pa.int64()),
+            "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
+            "simhash": pa.array(rows["simhash"], type=pa.int64()),
+        }
+    )
+
+
+def _simhash_bucket_pairs(group: pa.Table, max_hamming: int) -> pa.Table:
+    n = group.num_rows
+    a_col, b_col, ham = [], [], []
+    if 2 <= n <= MAX_BUCKET:
+        doc_ids = group["doc_id"].to_pylist()
+        hs = [h + (1 << 63) for h in group["simhash"].to_pylist()]
+        for i in range(n):
+            for j in range(i + 1, n):
+                if doc_ids[i] == doc_ids[j]:
+                    continue
+                d = bin(hs[i] ^ hs[j]).count("1")
+                if d <= max_hamming:
+                    a, b = sorted((doc_ids[i], doc_ids[j]))
+                    a_col.append(a)
+                    b_col.append(b)
+                    ham.append(d)
+    return pa.Table.from_pydict(
+        {
+            "doc_a": pa.array(a_col, type=pa.int64()),
+            "doc_b": pa.array(b_col, type=pa.int64()),
+            "hamming": pa.array(ham, type=pa.int64()),
+        }
+    )
+
+
+def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> "ray.data.Dataset":
+    from ray.data.aggregate import Min as _Min
+
+    bands = simhash_signatures(sf_dir).map_batches(
+        _simhash_band_rows, batch_format="pyarrow"
+    )
+    pairs = bands.groupby("bucket").map_groups(
+        lambda g: _simhash_bucket_pairs(g, max_hamming), batch_format="pyarrow"
+    )
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        _Min("hamming", alias_name="hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact verification of MinHash candidates)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6) -> "ray.data.Dataset":
+    """MinHash-LSH candidates re-verified with EXACT shingle Jaccard.
+
+    The texts are broadcast once via ``ray.put`` (small-side lookup read in
+    every task — NOT re-shipped per batch). At 10^12 docs this broadcast is
+    replaced by a bucketed join of candidates against the documents table on
+    doc_id; semantics identical."""
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    text_ref = ray.put(dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())))
+    cands = minhash_candidate_pairs(sf_dir, threshold=0.5)
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        texts = ray.get(text_ref)
+        a = batch["doc_a"].to_pylist()
+        b = batch["doc_b"].to_pylist()
+        keep_a, keep_b, jac = [], [], []
+        for x, y in zip(a, b):
+            sa = set(char_shingles(texts[x]).tolist())
+            sb = set(char_shingles(texts[y]).tolist())
+            j = len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+            if j >= threshold:
+                keep_a.append(x)
+                keep_b.append(y)
+                jac.append(round(j, 6))
+        return pa.Table.from_pydict(
+            {
+                "doc_a": pa.array(keep_a, type=pa.int64()),
+                "doc_b": pa.array(keep_b, type=pa.int64()),
+                "jaccard": pa.array(jac, type=pa.float64()),
+            }
+        )
+
+    return cands.map_batches(_verify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup (cosine LSH)
+# ---------------------------------------------------------------------------
+
+N_PLANES = 12
+_EMB_SEED = 20260818
+
+
+def _hyperplanes(dim: int) -> np.ndarray:
+    return np.random.RandomState(_EMB_SEED).standard_normal((N_PLANES, dim))
+
+
+def _embed_band_rows(batch: pa.Table) -> pa.Table:
+    vec_ids = batch["vec_id"].to_pylist()
+    embs = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(embs, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit = embs / norms
+    planes = _hyperplanes(embs.shape[1])
+    bits = (unit @ planes.T) > 0  # (n, P)
+    keys = bits @ (1 << np.arange(N_PLANES))
+    return pa.Table.from_pydict(
+        {
+            "bucket": pa.array(keys.astype(np.int64)),
+            "vec_id": pa.array(vec_ids, type=pa.int64()),
+            "unit": pa.array(unit.tolist(), type=pa.list_(pa.float64())),
+        }
+    )
+
+
+def _embed_bucket_pairs(group: pa.Table, threshold: float) -> pa.Table:
+    n = group.num_rows
+    a_col, b_col, cos = [], [], []
+    if 2 <= n <= 4096:
+        ids = np.array(group["vec_id"].to_pylist())
+        unit = np.array(group["unit"].to_pylist(), dtype=np.float64)
+        sims = unit @ unit.T
+        ii, jj = np.triu_indices(n, k=1)
+        keep = sims[ii, jj] >= threshold
+        for i, j in zip(ii[keep], jj[keep]):
+            a, b = sorted((int(ids[i]), int(ids[j])))
+            a_col.append(a)
+            b_col.append(b)
+            cos.append(round(float(sims[i, j]), 6))
+    return pa.Table.from_pydict(
+        {
+            "vec_a": pa.array(a_col, type=pa.int64()),
+            "vec_b": pa.array(b_col, type=pa.int64()),
+            "cosine": pa.array(cos, type=pa.float64()),
+        }
+    )
+
+
+def embedding_neardup_pairs(
+    sf_dir: str, threshold: float = 0.95
+) -> "ray.data.Dataset":
+    """Near-duplicate embedding pairs: random-hyperplane LSH buckets, then
+    in-bucket exact cosine. Recall is per-bucket (pairs split across bucket
+    boundaries are missed — standard LSH trade-off; raise N_PLANES bands to
+    tighten)."""
+    from ray.data.aggregate import Max as _Max
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    bands = ds.map_batches(_embed_band_rows, batch_format="pyarrow")
+    pairs = bands.groupby("bucket").map_groups(
+        lambda g: _embed_bucket_pairs(g, threshold), batch_format="pyarrow"
+    )
+    return pairs.groupby(["vec_a", "vec_b"]).aggregate(
+        _Max("cosine", alias_name="cosine")
+    )

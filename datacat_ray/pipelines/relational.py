@@ -1,0 +1,144 @@
+"""Generic relational operators over the TPC-H-ish driver tables.
+
+These exercise the engine's wide operations (groupby-aggregate with partial
+pre-aggregation, sort/top-k, broadcast join, distinct) against DuckDB
+oracles. Patterns, not one-offs: every aggregate is named identically in the
+Ray code and the oracle SQL so the driver's column-sorted value-hash
+matches.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def pricing_summary(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q1-shaped: per (l_returnflag, l_linestatus) sums/avg/count over
+    lineitem shipped before 1998-09-02. The revenue column is computed
+    vectorized per batch; the groupby runs over pre-projected columns only."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount", "l_shipdate"],
+    )
+
+    def _prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["l_shipdate"], pa.scalar("1998-09-02")))
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.Table.from_pydict(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "l_quantity": t["l_quantity"],
+                "l_extendedprice": t["l_extendedprice"],
+                "revenue": rev,
+            }
+        )
+
+    ds = ds.map_batches(_prep, batch_format="pyarrow")
+    return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base_price"),
+        Sum("revenue", alias_name="sum_revenue"),
+        Mean("l_quantity", alias_name="avg_qty"),
+        Count(alias_name="count_order"),
+    )
+
+
+def filter_project(sf_dir: str) -> "ray.data.Dataset":
+    """Row-level filter + projection: lineitem rows with quantity > 45."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.greater(t["l_quantity"], pa.scalar(45.0))),
+        batch_format="pyarrow",
+    )
+
+
+def top_orders(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
+    """Top-k orders by totalprice (deterministic orderkey tie-break)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ds.sort(
+        [("o_totalprice", "descending"), ("o_orderkey", "ascending")]
+    ).limit(k)
+
+
+def revenue_by_segment(sf_dir: str) -> "ray.data.Dataset":
+    """Broadcast hash join: orders ⋈ customer (small side shipped once via
+    ``ray.put``, looked up per batch — no shuffle join), then groupby
+    mktsegment."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    seg_of = dict(
+        zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())
+    )
+    seg_ref = ray.put(seg_of)
+
+    def _join(t: pa.Table) -> pa.Table:
+        lookup = ray.get(seg_ref)
+        segs = [lookup.get(ck) for ck in t["o_custkey"].to_pylist()]
+        out = pa.Table.from_pydict(
+            {
+                "c_mktsegment": pa.array(segs, type=pa.string()),
+                "o_totalprice": t["o_totalprice"],
+            }
+        )
+        return out.filter(pc.is_valid(out["c_mktsegment"]))
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    ds = ds.map_batches(_join, batch_format="pyarrow")
+    return ds.groupby("c_mktsegment").aggregate(
+        Sum("o_totalprice", alias_name="total_revenue"),
+        Count(alias_name="n_orders"),
+    )
+
+
+def events_per_user_day(sf_dir: str) -> "ray.data.Dataset":
+    """Windowed-by-day aggregate: events per (user_id, day) with value
+    stats. The tumbling window is a truncation of ts — no ordering
+    assumption needed (pure groupby)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def _day(t: pa.Table) -> pa.Table:
+        day = pc.strftime(pc.floor_temporal(t["ts"], unit="day"), format="%Y-%m-%d")
+        return pa.Table.from_pydict(
+            {"user_id": t["user_id"], "day": day, "value": t["value"]}
+        )
+
+    ds = ds.map_batches(_day, batch_format="pyarrow")
+    return ds.groupby(["user_id", "day"]).aggregate(
+        Count(alias_name="n_events"),
+        Sum("value", alias_name="sum_value"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"),
+    )
+
+
+def distinct_event_types(sf_dir: str) -> pa.Table:
+    """Distinct values of a column (shuffle-distinct)."""
+    ds = _read(sf_dir, "events", ["event_type"])
+    vals = sorted(ds.unique("event_type"))
+    return pa.Table.from_pydict({"event_type": pa.array(vals, type=pa.string())})
+
+
+def docs_by_lang(sf_dir: str) -> "ray.data.Dataset":
+    """Documents per lang with char-length stats (SQL-checkable)."""
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="sum_chars"),
+        Max("n_chars", alias_name="max_chars"),
+    )

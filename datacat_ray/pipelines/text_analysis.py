@@ -1,0 +1,225 @@
+"""Text-analysis operators over the ``documents`` table (training-data ops).
+
+Large-scale-pipeline staples, each expressed as a vectorized / row-kernel
+``map_batches`` over ``ray.data.read_parquet(documents)``:
+
+- token counting (whitespace tokenization, SQL-checkable),
+- text stats (ASCII digit/upper/punct counts, SQL-checkable),
+- language ID (stopword-profile heuristic — the engine analogue of the
+  reference's ``LanguageUtilities.runLanguageId`` on a ~500-char sample,
+  ``DatacatSegmenterParser.java:666-682``, with the same fallback-to-"fr"
+  convention when nothing matches),
+- quality scoring (length / punctuation / stopword ratios),
+- document fingerprinting (64-bit FNV-1a rolling hash over normalized
+  tokens).
+
+All are embarrassingly parallel: no shuffle anywhere.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+_WS_SPLIT = re.compile(r"\s+")
+
+# stopword profiles for the lang-id heuristic (top function words)
+_LANG_STOPWORDS: dict[str, frozenset[str]] = {
+    "en": frozenset("the of and to a in is it you that he was for on are with as i his they be at".split()),
+    "fr": frozenset("le la de et les des en un une du que est pour qui dans ce il au plus ne sur".split()),
+    "de": frozenset("der die und in den von zu das mit sich des auf für ist im dem nicht ein eine als".split()),
+    "es": frozenset("de la que el en y a los del se las por un para con no una su al es lo".split()),
+}
+_LANG_FALLBACK = "fr"  # reference fallback (DatacatSegmenterParser.java:810-818)
+_SAMPLE_CHARS = 500  # reference samples ~500 chars for language ID
+
+_PUNCT_SET = frozenset(".,;:!?")
+
+
+def _read_documents(sf_dir: str, columns: list[str]) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# token counting
+# ---------------------------------------------------------------------------
+
+
+def _token_count_batch(batch: pa.Table) -> pa.Table:
+    texts = batch["text"].to_pylist()
+    counts = [len(t.split()) if t else 0 for t in texts]
+    return pa.Table.from_pydict(
+        {"doc_id": batch["doc_id"], "n_tokens": pa.array(counts, type=pa.int64())}
+    )
+
+
+def token_count(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, n_tokens): whitespace-run token count.
+
+    Oracle: ``len(regexp_split_to_array(trim(text), '\\s+'))`` with the
+    empty-string → 0 convention.
+    """
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        _token_count_batch, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# text stats (SQL-checkable integer counts)
+# ---------------------------------------------------------------------------
+
+
+def _text_stats_batch(batch: pa.Table) -> pa.Table:
+    texts = batch["text"].to_pylist()
+    n_chars, n_digits, n_upper, n_punct = [], [], [], []
+    for t in texts:
+        t = t or ""
+        n_chars.append(len(t))
+        n_digits.append(sum(1 for c in t if "0" <= c <= "9"))
+        n_upper.append(sum(1 for c in t if "A" <= c <= "Z"))
+        n_punct.append(sum(1 for c in t if c in _PUNCT_SET))
+    return pa.Table.from_pydict(
+        {
+            "doc_id": batch["doc_id"],
+            "n_chars_calc": pa.array(n_chars, type=pa.int64()),
+            "n_digits": pa.array(n_digits, type=pa.int64()),
+            "n_upper": pa.array(n_upper, type=pa.int64()),
+            "n_punct": pa.array(n_punct, type=pa.int64()),
+        }
+    )
+
+
+def text_stats(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, n_chars_calc, n_digits, n_upper, n_punct) — ASCII classes
+    only, so DuckDB regexp counts reproduce the numbers exactly."""
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        _text_stats_batch, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# language ID
+# ---------------------------------------------------------------------------
+
+
+def lang_id_text(text: str) -> str:
+    """Stopword-profile vote over a ~500-char sample; deterministic
+    tie-break (lexicographic language code), fallback ``"fr"``."""
+    sample = (text or "")[:_SAMPLE_CHARS].lower()
+    words = _WS_SPLIT.split(sample)
+    best_lang, best_hits = _LANG_FALLBACK, 0
+    for lang in sorted(_LANG_STOPWORDS):
+        hits = sum(1 for w in words if w in _LANG_STOPWORDS[lang])
+        if hits > best_hits:
+            best_lang, best_hits = lang, hits
+    return best_lang
+
+
+def _lang_id_batch(batch: pa.Table) -> pa.Table:
+    preds = [lang_id_text(t) for t in batch["text"].to_pylist()]
+    return pa.Table.from_pydict(
+        {"doc_id": batch["doc_id"], "lang_pred": pa.array(preds, type=pa.string())}
+    )
+
+
+def lang_id(sf_dir: str) -> "ray.data.Dataset":
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        _lang_id_batch, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+
+def quality_features(text: str) -> dict:
+    t = text or ""
+    n = len(t)
+    words = t.split()
+    nw = len(words)
+    alpha = sum(1 for c in t if c.isalpha())
+    punct = sum(1 for c in t if c in _PUNCT_SET)
+    stop = sum(1 for w in words if w.lower() in _LANG_STOPWORDS["en"]
+               or w.lower() in _LANG_STOPWORDS["fr"])
+    mean_wlen = (sum(len(w) for w in words) / nw) if nw else 0.0
+    return {
+        "n_chars": n,
+        "n_words": nw,
+        "alpha_ratio": alpha / n if n else 0.0,
+        "punct_ratio": punct / n if n else 0.0,
+        "stopword_ratio": stop / nw if nw else 0.0,
+        "mean_word_len": mean_wlen,
+    }
+
+
+def quality_score_value(text: str) -> float:
+    """Composite [0,1] quality score: rewards sane word length, stopword
+    presence and alphabetic density; penalizes punctuation soup."""
+    f = quality_features(text)
+    score = 0.0
+    if 20 <= f["n_chars"] <= 100_000:
+        score += 0.25
+    if 2.0 <= f["mean_word_len"] <= 12.0:
+        score += 0.25
+    score += 0.25 * min(1.0, f["stopword_ratio"] / 0.2)
+    score += 0.25 * f["alpha_ratio"]
+    score -= 0.5 * max(0.0, f["punct_ratio"] - 0.2)
+    return round(max(0.0, min(1.0, score)), 6)
+
+
+def _quality_batch(batch: pa.Table) -> pa.Table:
+    scores = [quality_score_value(t) for t in batch["text"].to_pylist()]
+    return pa.Table.from_pydict(
+        {"doc_id": batch["doc_id"], "quality": pa.array(scores, type=pa.float64())}
+    )
+
+
+def quality_score(sf_dir: str) -> "ray.data.Dataset":
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        _quality_batch, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# document fingerprint (rolling hash)
+# ---------------------------------------------------------------------------
+
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+_MASK64 = (1 << 64) - 1
+
+
+def fnv1a64(data: bytes) -> int:
+    h = _FNV_OFFSET
+    for b in data:
+        h = ((h ^ b) * _FNV_PRIME) & _MASK64
+    return h
+
+
+def doc_fingerprint(text: str) -> int:
+    """Order-sensitive 64-bit fingerprint over normalized tokens (rolling
+    FNV-1a chained across tokens); returned as signed int64."""
+    h = _FNV_OFFSET
+    for w in (text or "").lower().split():
+        h = (h ^ fnv1a64(w.encode("utf-8"))) * _FNV_PRIME & _MASK64
+        h = ((h << 7) | (h >> 57)) & _MASK64  # rotate: order sensitivity
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _fingerprint_batch(batch: pa.Table) -> pa.Table:
+    fps = [doc_fingerprint(t) for t in batch["text"].to_pylist()]
+    return pa.Table.from_pydict(
+        {"doc_id": batch["doc_id"], "fingerprint": pa.array(fps, type=pa.int64())}
+    )
+
+
+def fingerprint(sf_dir: str) -> "ray.data.Dataset":
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        _fingerprint_batch, batch_format="pyarrow"
+    )

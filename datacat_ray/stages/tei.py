@@ -1,0 +1,120 @@
+"""TEI-XML + flat-text assembly (SURVEY.md M15 + M16 + S8 + S9).
+
+Reference semantics re-created here:
+
+- segmenter-level TEI: a state machine over labeled lines that opens/closes
+  zone tags (``<front>/<body>/<back>/<annex>/<other>``) with 3-tab indents
+  and ``<lb/>`` between lines, wrapped in the ``xml:space="preserve"``
+  document template (``DatacatSegmenterParser.java:777-783, 844-994,
+  1009-1088``).
+- entry-level TEI: the same pattern over labeled body tokens with tags
+  ``<entry> <title> <titledesc>`` and ``<other>`` → ``<note type="other">``,
+  re-consuming the ORIGINAL token stream so skipped whitespace tokens are
+  re-inserted verbatim and newlines become ``<lb/>``
+  (``DatacatBodySegmentationParser.java:766-894``, resync loop ``:800-822``).
+- flat text (the byte-identity surface, S9): concatenation of every layout
+  token text (``DatacatSegmenterParser.java:820-827``).
+
+Every convention here (indent tabs, ``<lb/>`` placement, escaping order) is
+frozen: the golden fixtures are byte-compared against it.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from datacat_ray.functions.textkit import html_encode
+from datacat_ray.stages.crf import strip_begin_prefix
+from datacat_ray.stages.zones import line_runs
+
+_TEI_HEADER = '<?xml version="1.0" encoding="UTF-8"?>\n<tei xml:space="preserve">\n'
+_DEFAULT_LANG = "fr"  # reference fallback (DatacatSegmenterParser.java:810-818)
+
+_BODY_TAG_MAP = {
+    "<entry>": ("<entry>", "</entry>"),
+    "<title>": ("<title>", "</title>"),
+    "<titledesc>": ("<titledesc>", "</titledesc>"),
+    "<other>": ('<note type="other">', "</note>"),
+}
+
+
+def doc_id(url: str) -> str:
+    return "_" + hashlib.sha1(url.encode("utf-8")).hexdigest()[:16]
+
+
+def extracted_text(tokens: list[str]) -> str:
+    """S9: the rawtxt concatenation — byte-identical per url invariant."""
+    return "".join(tokens)
+
+
+def assemble_segmenter_tei(
+    url: str, lang: str | None, lines: list[dict], line_labels: list[str]
+) -> str:
+    """Zone-tagged TEI over labeled lines."""
+    lang = lang or _DEFAULT_LANG
+    parts = [
+        _TEI_HEADER,
+        "\t<teiHeader>\n",
+        f'\t\t<fileDesc xml:id="{doc_id(url)}"/>\n',
+        "\t</teiHeader>\n",
+        f'\t<text xml:lang="{html_encode(lang)}">\n',
+    ]
+    for label, a, b in line_runs(line_labels):
+        tag = label[1:-1]  # "<front>" → "front"
+        content = "".join(
+            html_encode(lines[i]["text"]) + "<lb/>\n" for i in range(a, b + 1)
+        )
+        parts.append(f"\t\t\t<{tag}>{content}</{tag}>\n")
+    parts.append("\t</text>\n</tei>\n")
+    return "".join(parts)
+
+
+def body_label_runs(
+    body_labels: list[str], body_token_idx: list[int]
+) -> list[dict]:
+    """Coalesce body token labels (``I-`` begin states) into entry spans
+    ``(label, start, end)`` in ABSOLUTE token offsets (half-open; ``end`` is
+    one past the last labeled token)."""
+    runs: list[dict] = []
+    for pos, raw in enumerate(body_labels):
+        lb = strip_begin_prefix(raw)
+        t = body_token_idx[pos]
+        begins = raw.startswith("I-")
+        if runs and not begins and runs[-1]["label"] == lb:
+            runs[-1]["end"] = t + 1
+        else:
+            runs.append({"label": lb, "start": t, "end": t + 1})
+    return runs
+
+
+def assemble_body_tei(
+    url: str,
+    lang: str | None,
+    tokens: list[str],
+    entries: list[dict],
+) -> str:
+    """Entry-tagged TEI over the body token stream. Content between a run's
+    first and last labeled token is re-read from the original tokenization
+    (whitespace re-insertion, J2); newline tokens render as ``<lb/>``."""
+    lang = lang or _DEFAULT_LANG
+    parts = [
+        _TEI_HEADER,
+        "\t<teiHeader>\n",
+        f'\t\t<fileDesc xml:id="{doc_id(url)}"/>\n',
+        "\t</teiHeader>\n",
+        f'\t<text xml:lang="{html_encode(lang)}">\n',
+    ]
+    for run in entries:
+        open_tag, close_tag = _BODY_TAG_MAP.get(
+            run["label"], (run["label"], "</" + run["label"][1:])
+        )
+        buf: list[str] = []
+        for t in range(run["start"], run["end"]):
+            tok = tokens[t]
+            if tok == "\n" or tok == "\r" or tok == "\r\n":
+                buf.append("<lb/>\n")
+            else:
+                buf.append(html_encode(tok))
+        parts.append(f"\t\t\t{open_tag}{''.join(buf)}{close_tag}\n")
+    parts.append("\t</text>\n</tei>\n")
+    return "".join(parts)

@@ -1,0 +1,83 @@
+"""CRF decode machinery: template expansion, Viterbi, determinism."""
+
+from datacat_ray.stages.crf import (
+    CRFDecoder,
+    CRFModel,
+    expand_templates,
+    strip_begin_prefix,
+    with_begin_prefix,
+)
+from datacat_ray.stages.models import BODY_MODEL, SEGMENTER_MODEL
+
+TOY = CRFModel(
+    labels=("A", "B"),
+    templates=(("U", ((0, "x"),)), ("Ub", ((-1, "x"), (0, "x")))),
+    weights={"U:a": {"A": 2.0}, "U:b": {"B": 2.0}},
+    transitions={("A", "B"): 0.5},
+    init={"A": 0.1},
+    sticky=1.0,
+)
+
+
+def test_expand_templates_boundaries():
+    feats = [{"x": "a"}, {"x": "b"}]
+    rows = expand_templates(TOY, feats)
+    assert rows[0] == ["U:a", "Ub:_B-1_|a"]
+    assert rows[1] == ["U:b", "Ub:a|b"]
+
+
+def test_viterbi_basic_and_sticky():
+    dec = CRFDecoder(TOY)
+    assert dec.decode([{"x": "a"}, {"x": "a"}, {"x": "b"}]) == ["A", "A", "B"]
+    # one weak contrary observation is absorbed by stickiness
+    assert dec.decode([{"x": "a"}, {"x": "?"}, {"x": "a"}]) == ["A", "A", "A"]
+    assert dec.decode([]) == []
+
+
+def test_decode_deterministic_tie_break():
+    flat = CRFModel(labels=("A", "B"), templates=(("U", ((0, "x"),)),),
+                    weights={}, transitions={})
+    dec = CRFDecoder(flat)
+    # all scores equal → stable argmax picks the first label, every time
+    assert dec.decode([{"x": "q"}] * 5) == ["A"] * 5
+
+
+def test_begin_prefix_roundtrip():
+    labels = ["<front>", "<front>", "<body>", "<body>", "<front>"]
+    pref = with_begin_prefix(labels)
+    assert pref == ["I-<front>", "<front>", "I-<body>", "<body>", "I-<front>"]
+    assert [strip_begin_prefix(x) for x in pref] == labels
+
+
+def test_segmenter_model_recovers_fixture_zones():
+    import random
+
+    from datacat_ray.fixtures import make_catalogue_html
+    from datacat_ray.stages.dom import parse_main_blocks
+    from datacat_ray.stages.line_features import featurize_lines
+    from datacat_ray.stages.tokenizer import tokenize_document
+
+    rng = random.Random(5)
+    html, _ = make_catalogue_html(rng, n_entries=8)
+    lines, _, _ = tokenize_document(parse_main_blocks(html))
+    dec = CRFDecoder(SEGMENTER_MODEL)
+    labels = dec.decode(featurize_lines(lines))
+    # fixture docs: 8 front lines, 8 entries, 4 back lines
+    assert labels[:8] == ["<front>"] * 8
+    assert labels[8:16] == ["<body>"] * 8
+    assert labels[16:] == ["<back>"] * 4
+
+
+def test_body_model_starts_with_begin_state():
+    dec = CRFDecoder(BODY_MODEL)
+    feats = [
+        {"lowercase": "x", "digit": "ALLDIGIT", "capitalisation": "NOCAPS",
+         "line_status": "LINESTART", "punct_type": "NOPUNCT", "bold": 0,
+         "rel_doc_position": 5},
+        {"lowercase": "y", "digit": "NODIGIT", "capitalisation": "NOCAPS",
+         "line_status": "LINEIN", "punct_type": "NOPUNCT", "bold": 0,
+         "rel_doc_position": 5},
+    ]
+    labels = dec.decode(feats)
+    assert labels[0].startswith("I-")
+    assert labels[0] == "I-<entry>"

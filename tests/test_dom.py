@@ -1,0 +1,53 @@
+"""DOM parse + boilerplate strip (S2')."""
+
+import random
+
+from datacat_ray.fixtures import make_catalogue_html
+from datacat_ray.stages.dom import (
+    blocks_from_plain_text,
+    parse_main_blocks,
+)
+
+
+def test_strips_boilerplate_recovers_main_text():
+    rng = random.Random(7)
+    html, main_text = make_catalogue_html(rng, n_entries=5)
+    blocks = parse_main_blocks(html)
+    assert "\n".join(b["text"] for b in blocks) == main_text
+
+
+def test_pure_boilerplate_page_empty():
+    rng = random.Random(11)
+    html, main_text = make_catalogue_html(rng, pure_boilerplate=True)
+    assert main_text == ""
+    assert parse_main_blocks(html) == []
+
+
+def test_link_farm_stripped_outside_known_containers():
+    html = (
+        "<html><body><div>"
+        '<a href="/a">aaaa</a> <a href="/b">bbbb</a> <a href="/c">cccc</a>'
+        "</div><p>Real content sentence that is long enough to keep.</p></body></html>"
+    )
+    blocks = parse_main_blocks(html)
+    assert [b["text"] for b in blocks] == [
+        "Real content sentence that is long enough to keep."
+    ]
+
+
+def test_heading_font_attrs():
+    html = "<html><body><h1>TITLE HEADING LINE KEPT</h1><p>Body paragraph text long enough.</p></body></html>"
+    blocks = parse_main_blocks(html)
+    assert blocks[0]["font_size"] == 24.0 and blocks[0]["bold"]
+    assert blocks[1]["font_size"] == 12.0 and not blocks[1]["bold"]
+
+
+def test_malformed_html_no_crash():
+    blocks = parse_main_blocks("<p>unclosed <b>bold text that simply runs on")
+    assert blocks and "unclosed" in blocks[0]["text"]
+
+
+def test_plain_text_fallback():
+    blocks = blocks_from_plain_text("line one\n\n  line two  \n")
+    assert [b["text"] for b in blocks] == ["line one", "line two"]
+    assert blocks[0]["page"] == 0
