@@ -192,23 +192,27 @@ def minhash_candidate_pairs(
 # ---------------------------------------------------------------------------
 
 
+_BIT_SHIFTS = np.arange(64, dtype=np.uint64)
+_BIT_WEIGHTS = (np.uint64(1) << _BIT_SHIFTS).astype(np.uint64)
+
+
 def simhash64(text: str) -> int:
-    """64-bit SimHash over token 3-grams (unsigned value in int64 carrier)."""
+    """64-bit SimHash over token 3-grams (unsigned value in int64 carrier).
+
+    Vectorized: one uint64 array of gram hashes, one (n_grams × 64) bit
+    unpack, one vote sum — no per-bit Python loop."""
     words = (text or "").lower().split()
     grams = (
         [" ".join(words[i : i + 3]) for i in range(len(words) - 2)]
         if len(words) >= 3
         else [" ".join(words)] if words else [""]
     )
-    votes = np.zeros(64, dtype=np.int64)
-    for g in grams:
-        h = fnv1a64(g.encode("utf-8"))
-        bits = (h >> np.arange(64)) & 1
-        votes += 2 * bits - 1
-    h = 0
-    for i in range(64):
-        if votes[i] > 0:
-            h |= 1 << i
+    hs = np.fromiter(
+        (fnv1a64(g.encode("utf-8")) for g in grams), dtype=np.uint64, count=len(grams)
+    )
+    bits = ((hs[:, None] >> _BIT_SHIFTS) & np.uint64(1)).astype(np.int64)
+    votes = (2 * bits - 1).sum(axis=0)
+    h = int(((votes > 0) * _BIT_WEIGHTS).sum(dtype=np.uint64))
     return h - (1 << 63)
 
 

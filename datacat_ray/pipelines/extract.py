@@ -39,6 +39,23 @@ from datacat_ray.stages.tei import (
     body_label_runs,
     extracted_text,
 )
+
+
+def unwrapped_text(lines: list[dict]) -> str:
+    """Reconstruct the pre-wrap block text: lines of one block joined by the
+    space the wrap consumed (``wrap_text`` semantics), blocks joined by
+    newline. For HTML whose block texts contain no hard breaks this is the
+    exact inverse of the tokenizer's pseudo-line wrapping — the clean
+    "main content" string a downstream consumer wants."""
+    parts: list[str] = []
+    cur_block = None
+    for ln in lines:
+        if ln["block_id"] != cur_block:
+            parts.append(ln["text"])
+            cur_block = ln["block_id"]
+        else:
+            parts[-1] = parts[-1] + " " + ln["text"]
+    return "\n".join(parts)
 from datacat_ray.stages.token_features import featurize_body_tokens
 from datacat_ray.stages.tokenizer import tokenize_stage
 from datacat_ray.stages.zones import ZONE_STRUCT, decode_zones, zone_token_indices
@@ -54,6 +71,7 @@ RESULT_SCHEMA = pa.schema(
         ("warc_ts", pa.timestamp("us")),
         ("lang", pa.string()),
         ("extracted_text", pa.string()),
+        ("main_text", pa.string()),
         ("tei", pa.string()),
         ("tei_body", pa.string()),
         ("zones", pa.list_(ZONE_STRUCT)),
@@ -124,15 +142,17 @@ class BodyStage:
                 body_labels = self.decoder.decode(feats)
                 entries = body_label_runs(body_labels, idx)
                 text = extracted_text(tokens)
+                main = unwrapped_text(lines)
                 tei = assemble_segmenter_tei(url, lang, lines, line_labels)
                 tei_body = assemble_body_tei(url, lang, tokens, entries)
             except Exception as exc:  # noqa: BLE001 — poison-row side output
-                entries, text, tei, tei_body = [], "", "", ""
+                entries, text, main, tei, tei_body = [], "", "", "", ""
                 err = err or f"{type(exc).__name__}: {exc}"
             res["url"].append(url)
             res["warc_ts"].append(ts)
             res["lang"].append(lang)
             res["extracted_text"].append(text)
+            res["main_text"].append(main)
             res["tei"].append(tei)
             res["tei_body"].append(tei_body)
             res["zones"].append(zones)

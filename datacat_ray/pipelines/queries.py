@@ -1,0 +1,236 @@
+"""Driver-contract query registry: every implemented operator/pipeline from
+SURVEY.md §2 exposed as ``name -> callable(sf_dir)`` plus, where the
+semantics are ANSI-SQL-expressible, a DuckDB oracle string over the same
+parquet tables (pre-registered views: region nation customer supplier part
+orders lineitem events documents embeddings).
+
+Column-name discipline: the driver sorts columns by NAME before value-
+hashing, so every computed/aggregate column is aliased identically in the
+Ray code and the SQL (SURVEY.md §5 driver contract).
+
+Float discipline: sums over doubles are summation-order-dependent; both
+sides round aggregates (``round_columns`` / SQL ``ROUND``) far above the fp
+noise floor (~1e-9 relative) and far below the data's decimal grid, so the
+rounded values are bitwise-stable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+import pyarrow as pa
+
+import ray.data
+
+from datacat_ray.config import PipelineConfig
+from datacat_ray.fixtures import pages_from_documents
+from datacat_ray.pipelines.dedup_ops import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    latest_events,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from datacat_ray.pipelines.extract import build_extract_pipeline
+from datacat_ray.pipelines.multimodal import image_metadata
+from datacat_ray.pipelines.relational import (
+    SHIP_CUTOFF,
+    distinct_event_types,
+    docs_by_lang,
+    events_per_user_day,
+    filter_project,
+    pricing_summary,
+    revenue_by_segment,
+    top_orders,
+)
+from datacat_ray.pipelines.similarity import brute_force_topk, ivf_topk
+from datacat_ray.pipelines.text_analysis import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    text_stats,
+    token_count,
+)
+
+# ---------------------------------------------------------------------------
+# flagship extraction over driver testdata
+# ---------------------------------------------------------------------------
+
+
+def extract_flagship(sf_dir: str) -> "ray.data.Dataset":
+    """The full cascade (dedup → DOM strip → tokenize → CRF×2 → TEI/text)
+    over the documents table deterministically wrapped into the pages schema
+    (``pages_from_documents``). Returns (doc_id, extracted_text, n_lines,
+    n_tokens) — extracted_text is the byte-identity surface: the extractor
+    must recover EXACTLY the document text out of the boilerplate-wrapped
+    HTML (reference rawtxt semantics, DatacatSegmenterParser.java:820-827)."""
+    pages = pages_from_documents(sf_dir)
+    ds = ray.data.from_arrow(pages)
+    out = build_extract_pipeline(ds, PipelineConfig())
+
+    def _project(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        doc_id = pc.cast(
+            pc.replace_substring(t["url"], "https://docs.example.org/", ""),
+            pa.int64(),
+        )
+        return pa.Table.from_pydict(
+            {
+                "doc_id": doc_id,
+                "extracted_text": t["extracted_text"],
+                "main_text": t["main_text"],
+                "n_lines": pc.cast(t["n_lines"], pa.int64()),
+                "n_tokens": pc.cast(t["n_tokens"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(_project, batch_format="pyarrow")
+
+
+def extract_text_identity(sf_dir: str) -> "ray.data.Dataset":
+    """Byte-identity slice of the flagship run: the cascade's un-wrapped
+    main-content reconstruction must equal the source document text EXACTLY
+    (html wrap → DOM parse → boilerplate strip → line wrap → tokenize all
+    round-trip). Column aliased ``extracted_text`` to match the oracle."""
+    ds = extract_flagship(sf_dir).select_columns(["doc_id", "main_text"])
+    return ds.rename_columns({"main_text": "extracted_text"})
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+
+def build_queries() -> dict[str, Callable[[str], Any]]:
+    return {
+        # flagship cascade (SURVEY §3.3)
+        "extract_flagship": extract_flagship,
+        "extract_text_identity": extract_text_identity,
+        # relational / wide ops (SURVEY §2.5, §2.6)
+        "pricing_summary": pricing_summary,
+        "filter_project": filter_project,
+        "top_orders": top_orders,
+        "revenue_by_segment": revenue_by_segment,
+        "events_per_user_day": events_per_user_day,
+        "distinct_event_types": distinct_event_types,
+        "docs_by_lang": docs_by_lang,
+        # dedup family (D1 + training-data ops)
+        "latest_events": latest_events,
+        "exact_dedup": exact_dedup,
+        "minhash_pairs": lambda sf: minhash_candidate_pairs(sf, threshold=0.7),
+        "simhash_pairs": lambda sf: simhash_pairs(sf, max_hamming=3),
+        "ngram_jaccard_pairs": lambda sf: ngram_jaccard_pairs(sf, threshold=0.6),
+        "embedding_neardup": lambda sf: embedding_neardup_pairs(sf, threshold=0.95),
+        # similarity search
+        "knn_brute_force": lambda sf: brute_force_topk(sf, query_vec_id=0, k=10),
+        "knn_ivf": lambda sf: ivf_topk(sf, query_vec_id=0, k=10),
+        # text analysis
+        "token_count": token_count,
+        "text_stats": text_stats,
+        "lang_id": lang_id,
+        "quality_score": quality_score,
+        "fingerprint": fingerprint,
+        # multimodal plumbing
+        "image_metadata": image_metadata,
+    }
+
+
+def build_oracle_sql() -> dict[str, str]:
+    return {
+        # byte-identity: the cascade must hand back the document text
+        # EXACTLY (html wrapping + boilerplate strip + tokenize round-trips)
+        "extract_text_identity": (
+            "SELECT doc_id, text AS extracted_text FROM documents"
+        ),
+        "pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(ROUND(SUM(l_quantity)) AS BIGINT)          AS sum_qty,
+                   CAST(ROUND(SUM(l_extendedprice) * 100) AS BIGINT)
+                                                                   AS sum_base_price_cents,
+                   CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+                                                                   AS sum_revenue_cents,
+                   CAST(ROUND(AVG(l_quantity) * 1000000) AS BIGINT) AS avg_qty_micros,
+                   COUNT(*)                                         AS count_order
+            FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '{SHIP_CUTOFF} 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "filter_project": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+            FROM lineitem WHERE l_quantity > 45.0
+        """,
+        "top_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "revenue_by_segment": """
+            SELECT c_mktsegment,
+                   CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) AS total_revenue_cents,
+                   COUNT(*)                                       AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "events_per_user_day": """
+            SELECT user_id,
+                   strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   COUNT(*)                                   AS n_events,
+                   CAST(ROUND(SUM(value) * 1000000) AS BIGINT) AS sum_value_micros,
+                   MIN(value)                                 AS min_value,
+                   MAX(value)                                 AS max_value
+            FROM events GROUP BY user_id, day
+        """,
+        "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+        "docs_by_lang": """
+            SELECT lang,
+                   COUNT(*)                       AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT)   AS sum_chars,
+                   MAX(n_chars)                   AS max_chars
+            FROM documents GROUP BY lang
+        """,
+        "latest_events": """
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        # exact-content dedup: keep min doc_id per identical text (the Ray
+        # side groups on a 64-bit content hash; collision-free at this scale)
+        "exact_dedup": "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
+        "token_count": r"""
+            SELECT doc_id,
+                   CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                   END AS n_tokens
+            FROM documents
+        """,
+        "text_stats": r"""
+            SELECT doc_id,
+                   length(text) AS n_chars_calc,
+                   length(text) - length(regexp_replace(text, '[0-9]',    '', 'g')) AS n_digits,
+                   length(text) - length(regexp_replace(text, '[A-Z]',    '', 'g')) AS n_upper,
+                   length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct
+            FROM documents
+        """,
+        # cosine top-k: both sides compute in float64 (embedding cast to
+        # DOUBLE[]); rank ties broken by vec_id ascending on both sides
+        "knn_brute_force": """
+            SELECT vec_id, rank FROM (
+                SELECT e.vec_id,
+                       row_number() OVER (
+                           ORDER BY list_cosine_similarity(
+                               e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                           e.vec_id ASC) AS rank
+                FROM embeddings e,
+                     (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+                WHERE e.vec_id <> 0
+            ) WHERE rank <= 10
+        """,
+        # no oracle (non-SQL-expressible; driver records rows-only):
+        #   extract_flagship (cascade), minhash/simhash/ngram/embedding pairs
+        #   (LSH banding), knn_ivf (approximate), lang_id / quality_score /
+        #   fingerprint (custom scalar kernels), image_metadata (binary
+        #   plumbing)
+    }

@@ -21,9 +21,31 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def scale_to_int64(
+    ds: "ray.data.Dataset", scales: dict[str, int]
+) -> "ray.data.Dataset":
+    """Post-aggregation: ``col -> round(col * scale)`` as int64. Float sums
+    are summation-order-dependent (~1e-9 relative noise); snapping to an
+    integer grid far above the noise floor makes the value-hash bitwise
+    stable, and integers stringify identically in Ray and DuckDB (a rounded
+    DOUBLE does not — repr noise like 441279287.59000003)."""
+
+    def _scale(t: pa.Table) -> pa.Table:
+        for col, s in scales.items():
+            i = t.schema.get_field_index(col)
+            v = pc.round(pc.multiply(t[col], pa.scalar(float(s))))
+            t = t.set_column(i, col, pc.cast(v, pa.int64()))
+        return t
+
+    return ds.map_batches(_scale, batch_format="pyarrow")
+
+
+SHIP_CUTOFF = "2000-09-02"  # inside the generated l_shipdate range (1999-2001)
+
+
 def pricing_summary(sf_dir: str) -> "ray.data.Dataset":
     """TPC-H Q1-shaped: per (l_returnflag, l_linestatus) sums/avg/count over
-    lineitem shipped before 1998-09-02. The revenue column is computed
+    lineitem shipped before SHIP_CUTOFF. The revenue column is computed
     vectorized per batch; the groupby runs over pre-projected columns only."""
     ds = _read(
         sf_dir,
@@ -31,9 +53,10 @@ def pricing_summary(sf_dir: str) -> "ray.data.Dataset":
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
          "l_discount", "l_shipdate"],
     )
+    cutoff = pa.scalar(SHIP_CUTOFF).cast(pa.timestamp("us"))
 
     def _prep(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.less(t["l_shipdate"], pa.scalar("1998-09-02")))
+        t = t.filter(pc.less(t["l_shipdate"], cutoff))
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
         return pa.Table.from_pydict(
             {
@@ -46,12 +69,17 @@ def pricing_summary(sf_dir: str) -> "ray.data.Dataset":
         )
 
     ds = ds.map_batches(_prep, batch_format="pyarrow")
-    return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("l_quantity", alias_name="sum_qty"),
-        Sum("l_extendedprice", alias_name="sum_base_price"),
-        Sum("revenue", alias_name="sum_revenue"),
-        Mean("l_quantity", alias_name="avg_qty"),
+        Sum("l_extendedprice", alias_name="sum_base_price_cents"),
+        Sum("revenue", alias_name="sum_revenue_cents"),
+        Mean("l_quantity", alias_name="avg_qty_micros"),
         Count(alias_name="count_order"),
+    )
+    return scale_to_int64(
+        out,
+        {"sum_qty": 1, "sum_base_price_cents": 100, "sum_revenue_cents": 100,
+         "avg_qty_micros": 1_000_000},
     )
 
 
@@ -68,9 +96,7 @@ def filter_project(sf_dir: str) -> "ray.data.Dataset":
 def top_orders(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
     """Top-k orders by totalprice (deterministic orderkey tie-break)."""
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-    return ds.sort(
-        [("o_totalprice", "descending"), ("o_orderkey", "ascending")]
-    ).limit(k)
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
 
 
 def revenue_by_segment(sf_dir: str) -> "ray.data.Dataset":
@@ -100,10 +126,11 @@ def revenue_by_segment(sf_dir: str) -> "ray.data.Dataset":
 
     ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     ds = ds.map_batches(_join, batch_format="pyarrow")
-    return ds.groupby("c_mktsegment").aggregate(
-        Sum("o_totalprice", alias_name="total_revenue"),
+    out = ds.groupby("c_mktsegment").aggregate(
+        Sum("o_totalprice", alias_name="total_revenue_cents"),
         Count(alias_name="n_orders"),
     )
+    return scale_to_int64(out, {"total_revenue_cents": 100})
 
 
 def events_per_user_day(sf_dir: str) -> "ray.data.Dataset":
@@ -119,12 +146,13 @@ def events_per_user_day(sf_dir: str) -> "ray.data.Dataset":
         )
 
     ds = ds.map_batches(_day, batch_format="pyarrow")
-    return ds.groupby(["user_id", "day"]).aggregate(
+    out = ds.groupby(["user_id", "day"]).aggregate(
         Count(alias_name="n_events"),
-        Sum("value", alias_name="sum_value"),
+        Sum("value", alias_name="sum_value_micros"),
         Min("value", alias_name="min_value"),
         Max("value", alias_name="max_value"),
     )
+    return scale_to_int64(out, {"sum_value_micros": 1_000_000})
 
 
 def distinct_event_types(sf_dir: str) -> pa.Table:

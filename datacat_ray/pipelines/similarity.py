@@ -58,7 +58,7 @@ def brute_force_topk(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).map_batches(_local_topk, batch_format="pyarrow")
     # global merge: candidates are ≤ k per batch — tiny
-    top = ds.sort([("sim", "descending"), ("vec_id", "ascending")]).limit(k)
+    top = ds.sort(["sim", "vec_id"], descending=[True, False]).limit(k)
     rows = top.take_all()
     return pa.Table.from_pydict(
         {
@@ -105,7 +105,7 @@ def ivf_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> pa.Table:
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).map_batches(_probe_topk, batch_format="pyarrow")
-    rows = ds.sort([("sim", "descending"), ("vec_id", "ascending")]).limit(k).take_all()
+    rows = ds.sort(["sim", "vec_id"], descending=[True, False]).limit(k).take_all()
     return pa.Table.from_pydict(
         {
             "vec_id": pa.array([r["vec_id"] for r in rows], type=pa.int64()),
