@@ -1,0 +1,239 @@
+"""Benchmark harness (driver contract + scaling evidence).
+
+Default mode: `python bench.py`
+  - ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32)
+  - runs the headline pipelines over $GRAFT_SF_DIR (default
+    /root/testdata/sf0.1) and prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+     "sf": ..., "num_cpus": N, "extract_docs_per_sec": ...}
+
+Scaling mode: `python bench.py --scaling`
+  - runs the flagship extraction twice in FRESH subprocesses
+    (num_cpus=8 then num_cpus=32) on the identical input and reports both
+    throughputs plus scaling efficiency (the sandbox substitute for the
+    north rule's N vs 4N node clusters — see BASELINE.md protocol).
+
+Internal: `python bench.py --extract-only --cpus N` (used by --scaling)
+prints {"docs": D, "sec": S, "docs_per_sec": R, "num_cpus": N}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _pages_path(sf_dir: str, repeat: int = 1) -> str:
+    """Materialize the bench page table once per (sf_dir, repeat)
+    (deterministic wrap of the documents table into the Common-Crawl page
+    schema; ``repeat`` tiles it with distinct url prefixes so the scaling
+    run has enough work to dominate fixed overheads), sharded so Ray plans
+    parallel read fragments."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/datacat_bench_pages_{tag}_x{repeat}"
+    done = os.path.join(path, "_DONE")
+    if not os.path.exists(done):
+        from datacat_ray.fixtures import pages_from_documents
+
+        base = pages_from_documents(sf_dir)
+        parts = []
+        for r in range(repeat):
+            t = base
+            if r:
+                urls = pc.replace_substring(
+                    t["url"], "https://docs.", f"https://r{r}.docs."
+                )
+                t = t.set_column(0, "url", urls)
+            parts.append(t)
+        table = pa.concat_tables(parts)
+        os.makedirs(path, exist_ok=True)
+        rows_per_file = max(64, table.num_rows // 64)
+        shard = 0
+        for start in range(0, table.num_rows, rows_per_file):
+            pq.write_table(
+                table.slice(start, rows_per_file),
+                os.path.join(path, f"pages-{shard:05d}.parquet"),
+            )
+            shard += 1
+        with open(done, "w") as f:
+            f.write(str(table.num_rows))
+    return path
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+
+def run_extract(
+    sf_dir: str, repeat: int = 1, warmup: bool = False
+) -> tuple[int, float]:
+    """Flagship cascade over the bench page table; returns (docs, seconds).
+    Consumed via count() of the final stage — streaming end to end, nothing
+    materialized on the driver.
+
+    ``warmup`` first runs the same job untimed so worker-process spawn and
+    per-worker imports don't pollute the steady-state number (on the target
+    deployment workers are long-lived; a 100 TB run amortizes cold start to
+    zero). A partial warmup is NOT enough — it leaves cold workers for the
+    timed run at high parallelism, which reads as false serial time."""
+    import ray.data
+
+    from datacat_ray.pipelines.extract import extract_pages
+
+    path = _pages_path(sf_dir, repeat)
+    if warmup:
+        extract_pages(path).count()
+    t0 = time.time()
+    n = extract_pages(path).count()
+    return n, time.time() - t0
+
+
+def run_headline(sf_dir: str) -> dict:
+    """Representative operator set: one timing per family."""
+    from datacat_ray.pipelines.dedup_ops import (
+        exact_dedup,
+        latest_events,
+        minhash_candidate_pairs,
+        simhash_pairs,
+    )
+    from datacat_ray.pipelines.relational import (
+        events_per_user_day,
+        pricing_summary,
+        revenue_by_segment,
+        top_orders,
+    )
+    from datacat_ray.pipelines.similarity import brute_force_topk
+    from datacat_ray.pipelines.text_analysis import quality_score, token_count
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        res = fn(sf_dir)
+        # consume: Datasets stream to count(); Tables are already done
+        if hasattr(res, "count"):
+            res.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    docs, sec = run_extract(sf_dir)
+    timings["extract_flagship"] = round(sec, 3)
+    timed("pricing_summary", pricing_summary)
+    timed("top_orders", top_orders)
+    timed("revenue_by_segment", revenue_by_segment)
+    timed("events_per_user_day", events_per_user_day)
+    timed("latest_events", latest_events)
+    timed("exact_dedup", exact_dedup)
+    timed("minhash_pairs", minhash_candidate_pairs)
+    timed("simhash_pairs", simhash_pairs)
+    timed("knn_brute_force", brute_force_topk)
+    timed("token_count", token_count)
+    timed("quality_score", quality_score)
+    return {"timings": timings, "extract_docs": docs, "extract_sec": sec}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--extract-only", action="store_true")
+    ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--sf-dir", default=SF_DIR)
+    ap.add_argument("--repeat", type=int, default=8,
+                    help="input tiling factor for --scaling / --extract-only")
+    ap.add_argument("--trials", type=int, default=2,
+                    help="interleaved trials per parallelism level (--scaling)")
+    ap.add_argument("--scaling-cpus", default="8,32",
+                    help="N,4N pair for --scaling")
+    args = ap.parse_args()
+
+    if args.scaling:
+        # Fresh process per trial (the measurement protocol in BASELINE.md:
+        # two parallelism levels standing in for N / 4N node clusters).
+        # Trials are INTERLEAVED (lo, hi, lo, hi, ...) and best-of is taken
+        # per level: the sandbox host's throughput drifts ±35% on minute
+        # timescales (hypervisor neighbors), so paired-in-time best-of runs
+        # are the only stable basis for an efficiency ratio.
+        lo, hi = (int(x) for x in args.scaling_cpus.split(","))
+        _pages_path(args.sf_dir, args.repeat)  # build outside the timed runs
+        best: dict[int, dict] = {}
+        for _ in range(args.trials):
+            for cpus in (lo, hi):
+                out = subprocess.run(
+                    [sys.executable, __file__, "--extract-only",
+                     "--cpus", str(cpus), "--sf-dir", args.sf_dir,
+                     "--repeat", str(args.repeat)],
+                    capture_output=True, text=True, check=True,
+                    env={**os.environ, "RAY_GRAFT_CPUS": str(cpus)},
+                )
+                r = json.loads(out.stdout.strip().splitlines()[-1])
+                if cpus not in best or r["docs_per_sec"] > best[cpus]["docs_per_sec"]:
+                    best[cpus] = r
+        r_lo, r_hi = best[lo]["docs_per_sec"], best[hi]["docs_per_sec"]
+        eff = (r_hi / r_lo) / (hi / lo) if r_lo else 0.0
+        print(json.dumps({
+            "metric": f"extract_scaling_efficiency_{lo}_to_{hi}_cpus",
+            "value": round(eff, 4),
+            "unit": "ratio",
+            "sf": args.sf_dir,
+            f"docs_per_sec_{lo}cpus": round(r_lo, 2),
+            f"docs_per_sec_{hi}cpus": round(r_hi, 2),
+            f"sec_{lo}cpus": best[lo]["sec"],
+            f"sec_{hi}cpus": best[hi]["sec"],
+            "docs": best[hi]["docs"],
+            "trials": args.trials,
+        }))
+        return
+
+    _init_ray(args.cpus)
+    import ray
+
+    if args.extract_only:
+        docs, sec = run_extract(args.sf_dir, repeat=args.repeat, warmup=True)
+        print(json.dumps({
+            "docs": docs, "sec": round(sec, 3),
+            "docs_per_sec": round(docs / sec, 3) if sec else 0.0,
+            "num_cpus": args.cpus,
+        }))
+        ray.shutdown()
+        return
+
+    res = run_headline(args.sf_dir)
+    total = round(sum(res["timings"].values()), 3)
+    print(json.dumps({
+        "metric": "headline_pipeline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": res["timings"],
+        "sf": args.sf_dir,
+        "num_cpus": args.cpus,
+        "extract_docs_per_sec": round(
+            res["extract_docs"] / res["extract_sec"], 2
+        ) if res["extract_sec"] else 0.0,
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -35,11 +35,19 @@ class PipelineConfig:
     # actor-pool minimums stay at 1 so the pools never reserve every core
     # and starve the upstream task stages (a (2,8)+(2,8) pair deadlocks a
     # 4-CPU test session); the max lets the pool scale out on big nodes
+    # "tasks": fused stage runs as plain Ray tasks with a per-worker-process
+    # decoder cache (instant scheduling onto every free core). "actors":
+    # fused stage runs in an autoscaling actor pool — use when per-actor
+    # state is expensive to build (heavyweight model weights).
+    execution: str = "tasks"
+    # max sized for a 32-core node; Ray's autoscaling pool only grows a pool
+    # while its input queue is non-empty, so the two pools share the node
+    # without starving the stateless task stages
     segmenter: StageConfig = field(
-        default_factory=lambda: StageConfig(batch_size=64, concurrency=(1, 8))
+        default_factory=lambda: StageConfig(batch_size=128, concurrency=(1, 24))
     )
     body: StageConfig = field(
-        default_factory=lambda: StageConfig(batch_size=64, concurrency=(1, 8))
+        default_factory=lambda: StageConfig(batch_size=128, concurrency=(1, 24))
     )
     # output
     output_partitions: int = 0  # 0 = leave to Ray

@@ -30,7 +30,11 @@ import ray.data
 from datacat_ray.config import PipelineConfig
 from datacat_ray.stages.crf import CRFDecoder, with_begin_prefix
 from datacat_ray.stages.dedup import dedup_latest
-from datacat_ray.stages.dom import extract_blocks
+from datacat_ray.stages.dom import (
+    blocks_from_plain_text,
+    extract_blocks,
+    parse_main_blocks,
+)
 from datacat_ray.stages.line_features import featurize_lines
 from datacat_ray.stages.models import BODY_MODEL, SEGMENTER_MODEL
 from datacat_ray.stages.tei import (
@@ -57,7 +61,7 @@ def unwrapped_text(lines: list[dict]) -> str:
             parts[-1] = parts[-1] + " " + ln["text"]
     return "\n".join(parts)
 from datacat_ray.stages.token_features import featurize_body_tokens
-from datacat_ray.stages.tokenizer import tokenize_stage
+from datacat_ray.stages.tokenizer import tokenize_document, tokenize_stage
 from datacat_ray.stages.zones import ZONE_STRUCT, decode_zones, zone_token_indices
 
 SEGMENTED_SCHEMA_EXTRA = [
@@ -81,6 +85,92 @@ RESULT_SCHEMA = pa.schema(
         ("error", pa.string()),
     ]
 )
+
+
+class FusedExtractStage:
+    """The whole per-document cascade in ONE actor ``__call__``: DOM parse +
+    boilerplate strip (S2'), tokenize (M1/M2), line featurize + segmenter
+    CRF + zone decode (M5/M6/ST1/M13), body featurize + entry CRF
+    (M14/M7/ST2), TEI + text assembly (M15/M16/S9).
+
+    Fused deliberately: every operator is document-local (SURVEY.md §4), so
+    splitting them into separate map_batches stages ships the fat
+    intermediate nested columns (lines/tokens/features, 5-10× the html
+    payload) through the object store and pays Arrow⇄Python conversion at
+    each boundary — measured ~8× the actual kernel cost. One stage = one
+    conversion in (html bytes), one out (result strings). Both CRF decoders
+    compile once per actor in ``__init__`` (the Ray analogue of the
+    reference's parser singletons holding loaded Wapiti models,
+    ``DatacatSegmenterParser.java:83-85``,
+    ``DatacatBodySegmentationParser.java:63-67``)."""
+
+    def __init__(self, max_tokens: int = 30_000, max_blocks: int = 3_000) -> None:
+        self.seg = CRFDecoder(SEGMENTER_MODEL)
+        self.body = CRFDecoder(BODY_MODEL)
+        self.max_tokens = max_tokens
+        self.max_blocks = max_blocks
+
+    def _one(self, url, lang, html, text):
+        """(extracted_text, main_text, tei, tei_body, zones, entries,
+        n_lines, n_tokens, error) for one document."""
+        if html is not None:
+            blocks = parse_main_blocks(html.decode("utf-8", errors="replace"))
+        elif text is not None:
+            blocks = blocks_from_plain_text(text)
+        else:
+            blocks = []
+        if len(blocks) > self.max_blocks:
+            return "", "", "", "", [], [], 0, 0, f"TOO_MANY_BLOCKS: {len(blocks)}"
+        lines, tokens, token_line = tokenize_document(blocks)
+        if len(tokens) > self.max_tokens:
+            return "", "", "", "", [], [], 0, 0, f"TOO_MANY_TOKENS: {len(tokens)}"
+        feats = featurize_lines(lines)
+        line_labels = with_begin_prefix(self.seg.decode(feats))
+        zones = decode_zones(line_labels, token_line, len(tokens))
+        body_ranges = zone_token_indices(zones, "<body>")
+        bfeats, idx = featurize_body_tokens(tokens, token_line, lines, body_ranges)
+        entries = body_label_runs(self.body.decode(bfeats), idx)
+        return (
+            extracted_text(tokens),
+            unwrapped_text(lines),
+            assemble_segmenter_tei(url, lang, lines, line_labels),
+            assemble_body_tei(url, lang, tokens, entries),
+            zones,
+            entries,
+            len(lines),
+            len(tokens),
+            None,
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        res = {k: [] for k in RESULT_SCHEMA.names}
+        for url, ts, lang, html, text in zip(
+            batch["url"].to_pylist(),
+            batch["warc_ts"].to_pylist(),
+            batch["lang"].to_pylist(),
+            batch["html"].to_pylist(),
+            batch["text"].to_pylist(),
+        ):
+            try:
+                (text_out, main, tei, tei_body, zones, entries,
+                 n_lines, n_tokens, err) = self._one(url, lang, html, text)
+            except Exception as exc:  # noqa: BLE001 — poison-row side output
+                text_out = main = tei = tei_body = ""
+                zones, entries, n_lines, n_tokens = [], [], 0, 0
+                err = f"{type(exc).__name__}: {exc}"
+            res["url"].append(url)
+            res["warc_ts"].append(ts)
+            res["lang"].append(lang)
+            res["extracted_text"].append(text_out)
+            res["main_text"].append(main)
+            res["tei"].append(tei)
+            res["tei_body"].append(tei_body)
+            res["zones"].append(zones)
+            res["entries"].append(entries)
+            res["n_lines"].append(n_lines)
+            res["n_tokens"].append(n_tokens)
+            res["error"].append(err)
+        return pa.Table.from_pydict(res, schema=RESULT_SCHEMA)
 
 
 class SegmenterStage:
@@ -163,16 +253,77 @@ class BodyStage:
         return pa.Table.from_pydict(res, schema=RESULT_SCHEMA)
 
 
+_TASK_STAGE_CACHE: dict[tuple, "FusedExtractStage"] = {}
+
+
+def _fused_task(batch: pa.Table, max_tokens: int, max_blocks: int) -> pa.Table:
+    """Task-mode wrapper around ``FusedExtractStage`` with a per-WORKER-
+    PROCESS stage cache: the decoders compile once per worker (Ray reuses
+    worker processes across tasks), after which every task runs warm.
+
+    Tasks-with-process-cache vs an actor pool is a measured trade: these
+    decoders compile in milliseconds, and plain tasks schedule onto every
+    free core instantly while an autoscaling actor pool ramps from 1 actor
+    (measured 2-6s of pool creation + ramp on a 10s job). An actor pool
+    (``execution="actors"``) is the right choice only when per-actor state
+    is expensive — multi-GB model weights, a remote connection — which is
+    exactly what ``FusedExtractStage.__init__`` models."""
+    key = (max_tokens, max_blocks)
+    st = _TASK_STAGE_CACHE.get(key)
+    if st is None:
+        _TASK_STAGE_CACHE.clear()
+        st = _TASK_STAGE_CACHE[key] = FusedExtractStage(max_tokens, max_blocks)
+    return st(batch)
+
+
 def build_extract_pipeline(
+    ds: "ray.data.Dataset",
+    cfg: PipelineConfig | None = None,
+    dedup: bool = True,
+) -> "ray.data.Dataset":
+    """Compose the cascade over a pages Dataset (lazy; caller consumes):
+    one fused stage (see ``FusedExtractStage`` for why fusing beats a stage
+    chain here — every operator is document-local, so stage boundaries only
+    add object-store traffic).
+
+    ``dedup=True`` uses the exact groupby dedup (one wide shuffle). Prefer
+    ``extract_pages`` for parquet inputs — its winner-prefilter dedup keeps
+    the wide html column out of any shuffle entirely."""
+    cfg = cfg or PipelineConfig()
+    if dedup:
+        ds = dedup_latest(ds, key="url", ts="warc_ts")
+    if cfg.execution == "actors":
+        return ds.map_batches(
+            FusedExtractStage,
+            fn_constructor_kwargs={
+                "max_tokens": cfg.max_tokens, "max_blocks": cfg.max_blocks
+            },
+            batch_format="pyarrow",
+            batch_size=cfg.segmenter.batch_size,
+            concurrency=cfg.segmenter.concurrency,
+            num_cpus=cfg.segmenter.num_cpus,
+        )
+    import functools
+
+    return ds.map_batches(
+        functools.partial(
+            _fused_task, max_tokens=cfg.max_tokens, max_blocks=cfg.max_blocks
+        ),
+        batch_format="pyarrow",
+        batch_size=cfg.segmenter.batch_size,
+        num_cpus=cfg.segmenter.num_cpus,
+    )
+
+
+def build_staged_pipeline(
     ds: "ray.data.Dataset", cfg: PipelineConfig | None = None
 ) -> "ray.data.Dataset":
-    """Compose the full cascade over a pages Dataset (lazy; caller consumes)."""
+    """The un-fused stage chain (DOM → tokenize → segmenter pool → body
+    pool). Kept for per-stage debugging/inspection — the fused pipeline is
+    the production path."""
     cfg = cfg or PipelineConfig()
-    ds = dedup_latest(ds, key="url", ts="warc_ts")
     ds = ds.map_batches(
-        extract_blocks,
-        batch_format="pyarrow",
-        batch_size=cfg.dom.batch_size,
+        extract_blocks, batch_format="pyarrow", batch_size=cfg.dom.batch_size
     )
     ds = ds.map_batches(
         lambda b: tokenize_stage(b, cfg.max_tokens, cfg.max_blocks),
@@ -186,22 +337,34 @@ def build_extract_pipeline(
         concurrency=cfg.segmenter.concurrency,
         num_cpus=cfg.segmenter.num_cpus,
     )
-    ds = ds.map_batches(
+    return ds.map_batches(
         BodyStage,
         batch_format="pyarrow",
         batch_size=cfg.body.batch_size,
         concurrency=cfg.body.concurrency,
         num_cpus=cfg.body.num_cpus,
     )
-    return ds
 
 
 def extract_pages(
-    pages_path: str, cfg: PipelineConfig | None = None
+    pages_path, cfg: PipelineConfig | None = None, dedup: str = "prefilter"
 ) -> "ray.data.Dataset":
     """read_parquet → cascade. Column pruning happens at the read: only the
-    five input-hint columns leave storage."""
-    ds = ray.data.read_parquet(
-        pages_path, columns=["url", "warc_ts", "html", "text", "lang"]
-    )
-    return build_extract_pipeline(ds, cfg)
+    five input-hint columns leave storage.
+
+    ``dedup``:
+    - ``"prefilter"`` (default): narrow (url, warc_ts) winner pass +
+      broadcast filter — stale captures die at the read, the wide html
+      column never crosses a shuffle (the 10^12-row design; see
+      ``dedup_latest_prefilter`` for the tie caveat + bucketed scale path).
+    - ``"exact"``: groupby-based exact dedup (one wide hash shuffle).
+    - ``"none"``: input already unique per url.
+    """
+    from datacat_ray.stages.dedup import dedup_latest_prefilter
+
+    cols = ["url", "warc_ts", "html", "text", "lang"]
+    if dedup == "prefilter":
+        ds = dedup_latest_prefilter(pages_path, columns=cols)
+        return build_extract_pipeline(ds, cfg, dedup=False)
+    ds = ray.data.read_parquet(pages_path, columns=cols)
+    return build_extract_pipeline(ds, cfg, dedup=(dedup == "exact"))

@@ -47,18 +47,142 @@ def _dedup_batch(batch: pa.Table, key: str, ts: str) -> pa.Table:
     return batch.take(winners)
 
 
-def _take_latest_group(group: pa.Table, ts: str) -> pa.Table:
-    i = pc.sort_indices(group, sort_keys=[(ts, "ascending")])[-1].as_py()
-    return group.slice(i, 1)
+DEFAULT_BUCKETS = 256  # shuffle partitions; scale ~ cluster cores × 2
+
+
+def _bucket_of(keys: list, n_buckets: int) -> list[int]:
+    """Deterministic (process-independent) key → bucket. crc32 is cheap per
+    short url; at larger batch widths swap in a vectorized hash (polars
+    ``hash_rows``) — semantics identical."""
+    import zlib
+
+    return [zlib.crc32(str(k).encode("utf-8")) % n_buckets for k in keys]
 
 
 def dedup_latest(
-    ds: "ray.data.Dataset", key: str = "url", ts: str = "warc_ts"
+    ds: "ray.data.Dataset",
+    key: str = "url",
+    ts: str = "warc_ts",
+    n_buckets: int = DEFAULT_BUCKETS,
 ) -> "ray.data.Dataset":
-    """Keep, per ``key``, the single row with the largest ``ts``."""
+    """Keep, per ``key``, the single row with the largest ``ts``.
+
+    NOT ``groupby(key).map_groups`` — that is a sort shuffle on a wide
+    string key plus one Python UDF call per distinct key (measured 33s of a
+    34s pipeline at 5k urls). Instead: hash ``key`` into ``n_buckets``
+    int buckets, shuffle on the small int, and run the VECTORIZED
+    keep-latest kernel once per bucket. All captures of one url share a
+    bucket, so per-url semantics are exact."""
     ds = ds.map_batches(
         lambda b: _dedup_batch(b, key, ts), batch_format="pyarrow"
     )
-    return ds.groupby(key).map_groups(
-        lambda g: _take_latest_group(g, ts), batch_format="pyarrow"
-    )
+
+    def _add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__bucket", pa.array(_bucket_of(b[key].to_pylist(), n_buckets),
+                                 type=pa.int32())
+        )
+
+    def _dedup_bucket(g: pa.Table) -> pa.Table:
+        return _dedup_batch(g.drop_columns(["__bucket"]), key, ts)
+
+    ds = ds.map_batches(_add_bucket, batch_format="pyarrow")
+    return ds.groupby("__bucket").map_groups(_dedup_bucket, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# prefilter dedup: the 100 TB path — the wide payload never crosses a shuffle
+# ---------------------------------------------------------------------------
+
+_WINNER_CACHE: dict[str, dict] = {}
+
+
+def _cached_get(ref) -> dict:
+    """Per-worker deserialization cache for the broadcast winner map (the
+    ``ray.put`` once / read-in-every-task pattern; without the cache every
+    batch would re-deserialize the dict)."""
+    import ray as _ray
+
+    k = ref.hex()
+    d = _WINNER_CACHE.get(k)
+    if d is None:
+        d = _ray.get(ref)
+        _WINNER_CACHE.clear()  # one live winner map per worker
+        _WINNER_CACHE[k] = d
+    return d
+
+
+def _key_hash64(arr: pa.ChunkedArray | pa.Array) -> list[int]:
+    """Vectorized deterministic 64-bit hash of a string column (polars
+    ahash with pinned seeds — stable across processes). Collision odds at
+    10^6 keys ~ 3e-8; int keys keep the broadcast winner map ~10× smaller
+    than a str-keyed dict and unpickling at ms per worker."""
+    import polars as pl
+
+    s = pl.from_arrow(arr if isinstance(arr, (pa.Array, pa.ChunkedArray)) else pa.array(arr))
+    return s.hash(seed=20260817).to_list()
+
+
+def compute_winners(
+    path, key: str = "url", ts: str = "warc_ts"
+) -> dict[int, object]:
+    """Narrow winner pass: read ONLY (key, ts) (parquet column pruning),
+    local vectorized keep-latest per fragment, merge maxima on the driver
+    keyed by the 64-bit key hash.
+
+    Scale note (10^12 rows): the driver-side dict is the bench-scale
+    shortcut; the winner set is what the scale path keeps distributed —
+    hash-bucketed winner parquet + per-bucket dict load in the filter stage
+    (bucket id = crc32(url) % P, same function as ``_bucket_of``). The
+    shuffle cost is still only (url, ts) — the wide html column never
+    moves either way."""
+    import ray.data as rd
+
+    narrow = rd.read_parquet(path, columns=[key, ts])
+
+    def _local(b: pa.Table) -> pa.Table:
+        b = _dedup_batch(b, key, ts)
+        return pa.Table.from_pydict(
+            {"h": pa.array(_key_hash64(b[key]), type=pa.uint64()), ts: b[ts]}
+        )
+
+    local = narrow.map_batches(_local, batch_format="pyarrow")
+    winners: dict[int, object] = {}
+    for batch in local.iter_batches(batch_format="pyarrow", batch_size=65536):
+        for h, t in zip(batch["h"].to_pylist(), batch[ts].to_pylist()):
+            cur = winners.get(h)
+            if cur is None or t > cur:
+                winners[h] = t
+    return winners
+
+
+def dedup_latest_prefilter(
+    path,
+    key: str = "url",
+    ts: str = "warc_ts",
+    columns: list[str] | None = None,
+) -> "ray.data.Dataset":
+    """Keep-latest dedup with ZERO wide shuffle: a narrow (key, ts) winner
+    pass, then a streaming filter of the full read against the broadcast
+    winner map. Stale captures are dropped at the read — the html payload
+    of a loser never enters the pipeline.
+
+    Exactness caveat: two captures of one url with byte-equal max ``ts``
+    both pass the filter (a data pathology — same-microsecond recapture);
+    co-located ones are removed by the in-batch dedup, cross-fragment ones
+    survive. Use ``dedup_latest`` (exact groupby) where that matters."""
+    import ray as _ray
+    import ray.data as rd
+
+    winners = compute_winners(path, key, ts)
+    ref = _ray.put(winners)
+
+    def _filter(b: pa.Table) -> pa.Table:
+        w = _cached_get(ref)
+        hashes = _key_hash64(b[key])
+        tss = b[ts].to_pylist()
+        mask = pa.array([w.get(h) == t for h, t in zip(hashes, tss)])
+        return _dedup_batch(b.filter(mask), key, ts)
+
+    ds = rd.read_parquet(path, columns=columns)
+    return ds.map_batches(_filter, batch_format="pyarrow")
