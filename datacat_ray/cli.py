@@ -1,0 +1,125 @@
+"""Command-line entry (SURVEY.md M17 / §3.1).
+
+The reference dispatches CLI ``-exe`` names to engine methods via
+reflection (``GrobidDatacatMain.java:196-207``,
+``ProcessEngineDatacat.java:120-151``); here the same surface is an
+explicit subcommand registry. Run with::
+
+    python -m datacat_ray.cli <command> [...]
+    # or on a cluster:  ray job submit -- python -m datacat_ray.cli extract ...
+
+Commands own the Ray session (init guarded so an already-initialised
+driver — e.g. ``ray job submit`` — is respected).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False, "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(address="local", **kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_extract(args) -> int:
+    """Checkpointed flagship extraction over a parquet directory
+    (resumable: re-invoking skips completed partitions)."""
+    _init_ray(args.num_cpus)
+    from datacat_ray.state.manifest import run_extract_job
+
+    summary = run_extract_job(
+        args.input, args.out,
+        fragments_per_part=args.fragments_per_part,
+        dedup=not args.no_dedup,
+    )
+    print(json.dumps(summary))
+    return 0
+
+
+def cmd_synth(args) -> int:
+    """Write the deterministic synthetic sale-catalogue page table."""
+    from datacat_ray.fixtures import write_pages_parquet
+
+    path = write_pages_parquet(
+        args.out, n_urls=args.n_urls, seed=args.seed,
+        rows_per_file=args.rows_per_file,
+    )
+    print(json.dumps({"out": path, "n_urls": args.n_urls, "seed": args.seed}))
+    return 0
+
+
+def cmd_query(args) -> int:
+    """Run registered pipeline queries (SURVEY.md §2 operator registry)."""
+    _init_ray(args.num_cpus)
+    from datacat_ray.pipelines.queries import build_queries
+
+    qs = build_queries()
+    names = args.names or sorted(qs)
+    for name in names:
+        if name not in qs:
+            print(f"unknown query: {name} (see `commands`)", file=sys.stderr)
+            return 2
+        res = qs[name](args.sf_dir)
+        n = res.count() if hasattr(res, "count") and not hasattr(res, "num_rows") \
+            else getattr(res, "num_rows", None)
+        print(json.dumps({"query": name, "rows": n}))
+    return 0
+
+
+def cmd_commands(args) -> int:
+    """List available commands + registered queries (the reflective
+    usable-method listing of the reference CLI)."""
+    from datacat_ray.pipelines.queries import build_oracle_sql, build_queries
+
+    print("commands: extract synth query commands")
+    oracles = build_oracle_sql()
+    for name in sorted(build_queries()):
+        tag = "sql-oracle" if name in oracles else "rows-only"
+        print(f"query: {name} [{tag}]")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="datacat-ray")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("extract", help=cmd_extract.__doc__)
+    p.add_argument("input")
+    p.add_argument("out")
+    p.add_argument("--fragments-per-part", type=int, default=1)
+    p.add_argument("--no-dedup", action="store_true")
+    p.set_defaults(fn=cmd_extract)
+
+    p = sub.add_parser("synth", help=cmd_synth.__doc__)
+    p.add_argument("out")
+    p.add_argument("--n-urls", type=int, default=500)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--rows-per-file", type=int, default=200)
+    p.set_defaults(fn=cmd_synth)
+
+    p = sub.add_parser("query", help=cmd_query.__doc__)
+    p.add_argument("names", nargs="*")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p.set_defaults(fn=cmd_query)
+
+    p = sub.add_parser("commands", help=cmd_commands.__doc__)
+    p.set_defaults(fn=cmd_commands)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
