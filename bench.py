@@ -138,7 +138,7 @@ def run_headline(sf_dir: str) -> dict:
             res.count()
         timings[name] = round(time.time() - t0, 3)
 
-    docs, sec = run_extract(sf_dir)
+    docs, sec = run_extract(sf_dir, warmup=True)
     timings["extract_flagship"] = round(sec, 3)
     timed("pricing_summary", pricing_summary)
     timed("top_orders", top_orders)
@@ -164,7 +164,11 @@ def main() -> None:
                     help="input tiling factor for --scaling / --extract-only")
     ap.add_argument("--trials", type=int, default=2,
                     help="interleaved trials per parallelism level (--scaling)")
-    ap.add_argument("--scaling-cpus", default="8,32",
+    # 4,16 default: the sandbox VM's cores scale linearly to ~16 concurrent
+    # processes and then saturate (~0.84 of linear at 32, pure-Python burn
+    # test) — above 16 a scaling ratio measures the hypervisor, not the
+    # pipeline. Both pairs are recorded in BASELINE.md.
+    ap.add_argument("--scaling-cpus", default="4,16",
                     help="N,4N pair for --scaling")
     args = ap.parse_args()
 
