@@ -334,28 +334,40 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6) -> "ray.data.Datase
 # embedding near-dup (cosine LSH)
 # ---------------------------------------------------------------------------
 
-N_PLANES = 12
+N_PLANES = 5  # planes per LSH table
+N_TABLES = 10  # independent tables: P(cand) = 1-(1-p^r)^B, p = 1-θ/π
 _EMB_SEED = 20260818
 
 
 def _hyperplanes(dim: int) -> np.ndarray:
-    return np.random.RandomState(_EMB_SEED).standard_normal((N_PLANES, dim))
+    """(tables*planes, dim) — one stacked matmul signs all tables at once."""
+    return np.random.RandomState(_EMB_SEED).standard_normal(
+        (N_TABLES * N_PLANES, dim)
+    )
 
 
 def _embed_band_rows(batch: pa.Table) -> pa.Table:
-    vec_ids = batch["vec_id"].to_pylist()
+    """Each vector lands in one bucket PER TABLE (multi-table random-
+    hyperplane LSH: with r=5 planes × B=10 tables, candidate recall at
+    cosine 0.45 is ~0.7 and rises steeply with similarity — single-table
+    sign LSH has ~zero recall at moderate thresholds)."""
+    vec_ids = np.array(batch["vec_id"].to_pylist(), dtype=np.int64)
     embs = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
     norms = np.linalg.norm(embs, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     unit = embs / norms
-    planes = _hyperplanes(embs.shape[1])
-    bits = (unit @ planes.T) > 0  # (n, P)
-    keys = bits @ (1 << np.arange(N_PLANES))
+    bits = (unit @ _hyperplanes(embs.shape[1]).T) > 0  # (n, B*r)
+    bits = bits.reshape(len(unit), N_TABLES, N_PLANES)
+    table_keys = bits @ (1 << np.arange(N_PLANES))  # (n, B)
+    keys = (np.arange(N_TABLES)[None, :] << N_PLANES) | table_keys
+    n, B = keys.shape
     return pa.Table.from_pydict(
         {
-            "bucket": pa.array(keys.astype(np.int64)),
-            "vec_id": pa.array(vec_ids, type=pa.int64()),
-            "unit": pa.array(unit.tolist(), type=pa.list_(pa.float64())),
+            "bucket": pa.array(keys.reshape(-1).astype(np.int64)),
+            "vec_id": pa.array(np.repeat(vec_ids, B)),
+            "unit": pa.array(
+                np.repeat(unit, B, axis=0).tolist(), type=pa.list_(pa.float64())
+            ),
         }
     )
 
@@ -384,12 +396,14 @@ def _embed_bucket_pairs(group: pa.Table, threshold: float) -> pa.Table:
 
 
 def embedding_neardup_pairs(
-    sf_dir: str, threshold: float = 0.95
+    sf_dir: str, threshold: float = 0.45
 ) -> "ray.data.Dataset":
-    """Near-duplicate embedding pairs: random-hyperplane LSH buckets, then
-    in-bucket exact cosine. Recall is per-bucket (pairs split across bucket
-    boundaries are missed — standard LSH trade-off; raise N_PLANES bands to
-    tighten)."""
+    """Near-duplicate embedding pairs: multi-table random-hyperplane LSH
+    buckets, then in-bucket exact cosine, deduped across tables by a final
+    groupby. Recall < 1 by construction (tune N_TABLES/N_PLANES to the
+    threshold; the defaults target moderate cosine on the synthetic
+    clustered embeddings — the driver testdata's max off-diagonal cosine is
+    ~0.51, so a 0.9-style threshold would be vacuous there)."""
     from ray.data.aggregate import Max as _Max
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")

@@ -53,6 +53,12 @@ from datacat_ray.pipelines.text_analysis import (
     text_stats,
     token_count,
 )
+from datacat_ray.pipelines.training import (
+    QUALITY_BAND_EVAL_SQL,
+    quality_band_eval,
+    train_eval_split,
+    train_eval_split_sql,
+)
 
 # ---------------------------------------------------------------------------
 # flagship extraction over driver testdata
@@ -123,7 +129,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": lambda sf: minhash_candidate_pairs(sf, threshold=0.7),
         "simhash_pairs": lambda sf: simhash_pairs(sf, max_hamming=3),
         "ngram_jaccard_pairs": lambda sf: ngram_jaccard_pairs(sf, threshold=0.6),
-        "embedding_neardup": lambda sf: embedding_neardup_pairs(sf, threshold=0.95),
+        "embedding_neardup": lambda sf: embedding_neardup_pairs(sf, threshold=0.45),
         # similarity search
         "knn_brute_force": lambda sf: brute_force_topk(sf, query_vec_id=0, k=10),
         "knn_ivf": lambda sf: ivf_topk(sf, query_vec_id=0, k=10),
@@ -133,6 +139,9 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": lang_id,
         "quality_score": quality_score,
         "fingerprint": fingerprint,
+        # trainer-side ops (SURVEY §2.6 O3, §2.5 A5)
+        "train_eval_split": train_eval_split,
+        "quality_band_eval": quality_band_eval,
         # multimodal plumbing
         "image_metadata": image_metadata,
     }
@@ -228,6 +237,8 @@ def build_oracle_sql() -> dict[str, str]:
                 WHERE e.vec_id <> 0
             ) WHERE rank <= 10
         """,
+        "train_eval_split": train_eval_split_sql(),
+        "quality_band_eval": QUALITY_BAND_EVAL_SQL,
         # no oracle (non-SQL-expressible; driver records rows-only):
         #   extract_flagship (cascade), minhash/simhash/ngram/embedding pairs
         #   (LSH banding), knn_ivf (approximate), lang_id / quality_score /

@@ -87,6 +87,44 @@ def body_label_runs(
     return runs
 
 
+def html_decode(s: str) -> str:
+    """Inverse of ``html_encode`` (entity order reversed; ``&amp;`` last)."""
+    return (
+        s.replace("&quot;", '"')
+        .replace("&gt;", ">")
+        .replace("&lt;", "<")
+        .replace("&amp;", "&")
+    )
+
+
+_ZONE_RE = None  # compiled lazily (module import stays cheap for workers)
+
+
+def parse_segmenter_tei(tei: str) -> list[tuple[str, str]]:
+    """S6: TEI training-corpus source — parse a zone-tagged segmenter TEI
+    document back into ``(line_text, label)`` pairs, the labeled-line list
+    the trainer consumes (the engine analogue of
+    ``TEIDatacatSegmenterSaxParser.java:23-189``). Exact inverse of
+    ``assemble_segmenter_tei`` for every document it emits (round-trip
+    property, tested)."""
+    global _ZONE_RE
+    if _ZONE_RE is None:
+        import re
+
+        _ZONE_RE = re.compile(
+            r"\t\t\t<(front|body|back|annex|other)>(.*?)</\1>\n", re.S
+        )
+    out: list[tuple[str, str]] = []
+    for m in _ZONE_RE.finditer(tei):
+        label = f"<{m.group(1)}>"
+        content = m.group(2)
+        for piece in content.split("<lb/>\n"):
+            if piece == "":
+                continue
+            out.append((html_decode(piece), label))
+    return out
+
+
 def assemble_body_tei(
     url: str,
     lang: str | None,
