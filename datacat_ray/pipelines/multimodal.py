@@ -114,3 +114,94 @@ def image_metadata(sf_dir: str) -> "ray.data.Dataset":
         concurrency=(1, 4),
         num_cpus=1,
     )
+
+
+# ---------------------------------------------------------------------------
+# audio: opaque binary + typed metadata, frame-sample actor stage
+# ---------------------------------------------------------------------------
+
+_AUDIO_MAGIC = b"DCRA"
+_AUDIO_HEADER = struct.Struct("<4sIIH")  # magic, sample_rate, n_samples, channels
+
+
+def make_fake_audio(seed: int) -> bytes:
+    """Deterministic fake audio payload: real header + pseudo-random body."""
+    rng = np.random.RandomState((seed * 31 + 7) & 0x7FFFFFFF)
+    sr = int(rng.choice([8000, 16000, 44100]))
+    n = int(rng.randint(sr, sr * 20))  # 1-20 s
+    return _AUDIO_HEADER.pack(_AUDIO_MAGIC, sr, n, 1) + rng.bytes(
+        min(n // 64, 4096)
+    )
+
+
+class AudioFrameSampler:
+    """Actor-pool stage: parse audio headers and plan a deterministic
+    frame-sampling grid (``frame_sec``-spaced offsets). ``decode_samples``
+    is the STUB seam (no audio codec in this environment); everything
+    Ray-side — schema, per-actor init, small batches for wide binary rows,
+    nested list output column — is real."""
+
+    def __init__(self, frame_sec: float = 1.0) -> None:
+        self.frame_sec = frame_sec  # real codec/model load goes here
+
+    @staticmethod
+    def decode_samples(payload: bytes) -> "np.ndarray":
+        """STUB: PCM decode requires an audio library (soundfile/ffmpeg) —
+        not available in this environment; swap in production."""
+        raise NotImplementedError(
+            "audio decode requires an audio library — not available here"
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {"doc_id": [], "sample_rate": [], "duration_ms": [],
+                "n_frames": [], "frame_offsets_ms": [], "valid": []}
+        for doc_id, p in zip(batch["doc_id"].to_pylist(),
+                             batch["audio"].to_pylist()):
+            rows["doc_id"].append(doc_id)
+            if p and len(p) >= _AUDIO_HEADER.size and p[:4] == _AUDIO_MAGIC:
+                _, sr, n, _ch = _AUDIO_HEADER.unpack_from(p)
+                dur_ms = n * 1000 // sr
+                step = int(self.frame_sec * 1000)
+                offsets = list(range(0, max(dur_ms, 1), step))
+                rows["sample_rate"].append(sr)
+                rows["duration_ms"].append(dur_ms)
+                rows["n_frames"].append(len(offsets))
+                rows["frame_offsets_ms"].append(offsets)
+                rows["valid"].append(True)
+            else:
+                rows["sample_rate"].append(0)
+                rows["duration_ms"].append(0)
+                rows["n_frames"].append(0)
+                rows["frame_offsets_ms"].append([])
+                rows["valid"].append(False)
+        return pa.Table.from_pydict(
+            rows,
+            schema=pa.schema(
+                [("doc_id", pa.int64()), ("sample_rate", pa.int32()),
+                 ("duration_ms", pa.int64()), ("n_frames", pa.int32()),
+                 ("frame_offsets_ms", pa.list_(pa.int64())),
+                 ("valid", pa.bool_())]
+            ),
+        )
+
+
+def audio_frames(sf_dir: str, frame_sec: float = 1.0) -> "ray.data.Dataset":
+    """Audio multimodal pipeline: synth binary column → frame-sampling
+    actor pool (small batches — wide binary rows)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def _mk(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.Table.from_pydict(
+            {"doc_id": batch["doc_id"],
+             "audio": pa.array([make_fake_audio(i) for i in ids], type=pa.binary())}
+        )
+
+    return ds.map_batches(_mk, batch_format="pyarrow").map_batches(
+        AudioFrameSampler,
+        fn_constructor_kwargs={"frame_sec": frame_sec},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )

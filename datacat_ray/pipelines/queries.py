@@ -35,6 +35,7 @@ from datacat_ray.pipelines.dedup_ops import (
 )
 from datacat_ray.pipelines.extract import build_extract_pipeline
 from datacat_ray.pipelines.multimodal import image_metadata
+from datacat_ray.pipelines.multimodal import audio_frames
 from datacat_ray.pipelines.relational import (
     SHIP_CUTOFF,
     distinct_event_types,
@@ -44,8 +45,14 @@ from datacat_ray.pipelines.relational import (
     pricing_summary,
     revenue_by_segment,
     top_orders,
+    user_sessions,
+    user_sessions_sql,
 )
-from datacat_ray.pipelines.similarity import brute_force_topk, ivf_topk
+from datacat_ray.pipelines.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    multi_query_topk,
+)
 from datacat_ray.pipelines.text_analysis import (
     fingerprint,
     lang_id,
@@ -121,6 +128,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": top_orders,
         "revenue_by_segment": revenue_by_segment,
         "events_per_user_day": events_per_user_day,
+        "user_sessions": user_sessions,
         "distinct_event_types": distinct_event_types,
         "docs_by_lang": docs_by_lang,
         # dedup family (D1 + training-data ops)
@@ -133,6 +141,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_brute_force": lambda sf: brute_force_topk(sf, query_vec_id=0, k=10),
         "knn_ivf": lambda sf: ivf_topk(sf, query_vec_id=0, k=10),
+        "knn_multi_query": lambda sf: multi_query_topk(sf, (0, 1, 2, 3), k=5),
         # text analysis
         "token_count": token_count,
         "text_stats": text_stats,
@@ -144,6 +153,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "quality_band_eval": quality_band_eval,
         # multimodal plumbing
         "image_metadata": image_metadata,
+        "audio_frames": audio_frames,
     }
 
 
@@ -236,6 +246,20 @@ def build_oracle_sql() -> dict[str, str]:
                      (SELECT embedding FROM embeddings WHERE vec_id = 0) q
                 WHERE e.vec_id <> 0
             ) WHERE rank <= 10
+        """,
+        "user_sessions": user_sessions_sql(),
+        "knn_multi_query": """
+            SELECT query_vec_id, vec_id, rank FROM (
+                SELECT q.vec_id AS query_vec_id, e.vec_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(
+                               e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                           e.vec_id ASC) AS rank
+                FROM embeddings e
+                JOIN embeddings q ON q.vec_id IN (0, 1, 2, 3)
+                WHERE e.vec_id <> q.vec_id
+            ) WHERE rank <= 5
         """,
         "train_eval_split": train_eval_split_sql(),
         "quality_band_eval": QUALITY_BAND_EVAL_SQL,

@@ -155,6 +155,58 @@ def events_per_user_day(sf_dir: str) -> "ray.data.Dataset":
     return scale_to_int64(out, {"sum_value_micros": 1_000_000})
 
 
+SESSION_GAP_MIN = 30
+
+
+def user_sessions(sf_dir: str, gap_min: int = SESSION_GAP_MIN) -> "ray.data.Dataset":
+    """Sessionization (stateful order-sensitive window op): per user, events
+    sorted by (ts, event_id); a new session starts when the gap to the
+    previous event exceeds ``gap_min`` minutes. Returns per-user session
+    count + event count.
+
+    Shape: ONE hash shuffle on user_id (``groupby.map_groups``), then the
+    session walk is vectorized per group (numpy diff over sorted ts) — the
+    within-key ordering the operator needs is established inside the group,
+    never globally, so the shuffle stays a plain hash exchange."""
+    import numpy as np
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def _sessions(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        ts = pc.take(g["ts"], order).cast(pa.int64()).to_numpy()  # µs
+        gaps = np.diff(ts)
+        n_sessions = 1 + int((gaps > gap_min * 60_000_000).sum()) if len(ts) else 0
+        return pa.Table.from_pydict(
+            {
+                "user_id": [g["user_id"][0].as_py()],
+                "n_sessions": pa.array([n_sessions], type=pa.int64()),
+                "n_events": pa.array([g.num_rows], type=pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(_sessions, batch_format="pyarrow")
+
+
+def user_sessions_sql(gap_min: int = SESSION_GAP_MIN) -> str:
+    return f"""
+        WITH marked AS (
+            SELECT user_id,
+                   CASE WHEN ts - lag(ts) OVER w > INTERVAL {gap_min} MINUTE
+                         OR lag(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id,
+               CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+               COUNT(*)                         AS n_events
+        FROM marked GROUP BY user_id
+    """
+
+
 def distinct_event_types(sf_dir: str) -> pa.Table:
     """Distinct values of a column (shuffle-distinct)."""
     ds = _read(sf_dir, "events", ["event_type"])

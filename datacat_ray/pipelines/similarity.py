@@ -68,6 +68,75 @@ def brute_force_topk(
     )
 
 
+def multi_query_topk(
+    sf_dir: str, query_vec_ids: tuple[int, ...] = (0, 1, 2, 3), k: int = 5
+) -> pa.Table:
+    """Batched similarity search: one (Q, dim) query matrix broadcast via
+    ``ray.put``, ONE numpy matmul per data batch against all queries
+    simultaneously, per-query local top-k → tiny global merge. This is the
+    scale shape for model-training retrieval (Q in the thousands): the data
+    side streams once regardless of Q.
+
+    Returns (query_vec_id, vec_id, rank) with rank ties broken by vec_id —
+    mirrored in the oracle SQL."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids_all = t["vec_id"].to_pylist()
+    Q = np.array(
+        [t["embedding"][ids_all.index(q)].as_py() for q in query_vec_ids],
+        dtype=np.float64,
+    )
+    Qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    Qn[Qn == 0] = 1.0
+    q_ref = ray.put(Q / Qn)
+    qids = np.array(query_vec_ids, dtype=np.int64)
+
+    def _local(batch: pa.Table) -> pa.Table:
+        Qm = ray.get(q_ref)  # (Q, dim)
+        ids = np.array(batch["vec_id"].to_pylist(), dtype=np.int64)
+        embs = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(embs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (embs / norms) @ Qm.T  # (n, Q)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(Qm.shape[0]):
+            col = sims[:, qi]
+            mask = ids != qids[qi]
+            cids, csims = ids[mask], col[mask]
+            if len(cids) > k:
+                part = np.argpartition(-csims, k)[:k]
+                cids, csims = cids[part], csims[part]
+            out_q.extend([int(qids[qi])] * len(cids))
+            out_v.extend(cids.tolist())
+            out_s.extend(csims.tolist())
+        return pa.Table.from_pydict(
+            {
+                "query_vec_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_v, type=pa.int64()),
+                "sim": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(_local, batch_format="pyarrow")
+    # global merge on the tiny candidate set (≤ Q*k per batch)
+    cand = ds.to_pandas()
+    cand = cand.sort_values(
+        ["query_vec_id", "sim", "vec_id"], ascending=[True, False, True]
+    )
+    cand["rank"] = cand.groupby("query_vec_id").cumcount() + 1
+    top = cand[cand["rank"] <= k]
+    return pa.Table.from_pydict(
+        {
+            "query_vec_id": pa.array(top["query_vec_id"].tolist(), type=pa.int64()),
+            "vec_id": pa.array(top["vec_id"].tolist(), type=pa.int64()),
+            "rank": pa.array(top["rank"].tolist(), type=pa.int64()),
+        }
+    )
+
+
 # IVF-style coarse quantization ------------------------------------------------
 
 IVF_BITS = 6  # 64 coarse buckets from sign pattern of leading dims
