@@ -103,6 +103,41 @@ def extract_flagship(sf_dir: str) -> "ray.data.Dataset":
     return out.map_batches(_project, batch_format="pyarrow")
 
 
+def features_debug(sf_dir: str) -> "ray.data.Dataset":
+    """S10 features-debug sink: the canonical whitespace-serialized 33-field
+    feature line per layout line (the reference's featured-but-unlabeled
+    training bootstrap files, ``DatacatSegmenterParser.java:692-694``),
+    exploded to (doc_id, line_id, serialized) rows."""
+    import pyarrow.compute as pc
+
+    from datacat_ray.stages.dom import parse_main_blocks
+    from datacat_ray.stages.line_features import featurize_lines, serialize_features
+    from datacat_ray.stages.tokenizer import tokenize_document
+
+    pages = pages_from_documents(sf_dir)
+    ds = ray.data.from_arrow(pages)
+
+    def _feats(t: pa.Table) -> pa.Table:
+        doc_ids, line_ids, ser = [], [], []
+        for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            doc = int(url.rsplit("/", 1)[1])
+            blocks = parse_main_blocks(html.decode("utf-8"))
+            lines, _, _ = tokenize_document(blocks)
+            for i, f in enumerate(featurize_lines(lines)):
+                doc_ids.append(doc)
+                line_ids.append(i)
+                ser.append(serialize_features(f))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "line_id": pa.array(line_ids, type=pa.int64()),
+                "serialized": pa.array(ser, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(_feats, batch_format="pyarrow")
+
+
 def extract_text_identity(sf_dir: str) -> "ray.data.Dataset":
     """Byte-identity slice of the flagship run: the cascade's un-wrapped
     main-content reconstruction must equal the source document text EXACTLY
@@ -122,6 +157,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         # flagship cascade (SURVEY §3.3)
         "extract_flagship": extract_flagship,
         "extract_text_identity": extract_text_identity,
+        "features_debug": features_debug,
         # relational / wide ops (SURVEY §2.5, §2.6)
         "pricing_summary": pricing_summary,
         "filter_project": filter_project,
