@@ -175,11 +175,55 @@ def is_boilerplate(block: _RawBlock) -> bool:
     return False
 
 
-def parse_main_blocks(html: str) -> list[dict]:
+import re as _re
+
+_SCRIPT_STYLE_RE = _re.compile(
+    r"<(script|style)\b[^>]*>.*?</\1\s*>", _re.S | _re.I
+)
+_COMMENT_RE = _re.compile(r"<!--.*?-->|<![^>]*>", _re.S)
+_TAG_RE = _re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)[^>]*?(/?)>")
+
+
+def _scan_html(html: str, parser: _BlockParser) -> None:
+    """Regex tag scanner driving the SAME ``_BlockParser`` state machine as
+    the stdlib ``HTMLParser`` path — identical block output on well-formed
+    HTML (asserted against the stdlib parser in tests) at a fraction of the
+    cost (``html.parser``'s char-by-char ``goahead`` was ~30% of the whole
+    cascade). Script/style subtrees and comments are stripped up front so
+    markup inside them cannot perturb tag state."""
+    from html import unescape
+
+    html = _SCRIPT_STYLE_RE.sub("", html)
+    html = _COMMENT_RE.sub("", html)
+    pos = 0
+    for m in _TAG_RE.finditer(html):
+        if m.start() > pos:
+            text = html[pos : m.start()]
+            parser.handle_data(unescape(text) if "&" in text else text)
+        tag = m.group(2).lower()
+        if m.group(1):
+            parser.handle_endtag(tag)
+        else:
+            parser.handle_starttag(tag, [])
+            if m.group(3):  # self-closing <br/> — stdlib calls start+end
+                parser.handle_endtag(tag)
+        pos = m.end()
+    if pos < len(html):
+        text = html[pos:]
+        parser.handle_data(unescape(text) if "&" in text else text)
+
+
+def parse_main_blocks(html: str, engine: str = "scan") -> list[dict]:
     """Parse HTML and return the main-content blocks (boilerplate stripped)
-    as dicts matching BLOCK_STRUCT, with pseudo-page assignment."""
+    as dicts matching BLOCK_STRUCT, with pseudo-page assignment.
+
+    ``engine="scan"`` (default) uses the regex scanner; ``"stdlib"`` uses
+    ``html.parser`` — same state machine, kept for conformance testing."""
     parser = _BlockParser()
-    parser.feed(html)
+    if engine == "scan":
+        _scan_html(html, parser)
+    else:
+        parser.feed(html)
     parser.close()
     out: list[dict] = []
     line_count = 0

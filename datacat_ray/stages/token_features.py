@@ -71,6 +71,38 @@ def _is_space_token(tok: str) -> bool:
     return tok.isspace()
 
 
+_STATIC_CACHE_MAX = 200_000
+_static_cache: dict[str, dict] = {}
+
+
+def _token_static(tok: str) -> dict:
+    """The 13 feature fields that depend ONLY on the token string, memoized
+    per worker process — natural-language token distributions are Zipfian,
+    so hit rates are high and the per-occurrence cost drops to a dict copy."""
+    d = _static_cache.get(tok)
+    if d is None:
+        if len(_static_cache) >= _STATIC_CACHE_MAX:
+            _static_cache.clear()
+        d = {
+            "token": tok,
+            "lowercase": tok.lower(),
+            "prefix1": prefix(tok, 1),
+            "prefix2": prefix(tok, 2),
+            "prefix3": prefix(tok, 3),
+            "prefix4": prefix(tok, 4),
+            "suffix1": suffix(tok, 1),
+            "suffix2": suffix(tok, 2),
+            "suffix3": suffix(tok, 3),
+            "suffix4": suffix(tok, 4),
+            "capitalisation": capitalisation_class(tok),
+            "digit": digit_class(tok),
+            "single_char": int(len(tok) == 1),
+            "punct_type": punct_type(tok),
+        }
+        _static_cache[tok] = d
+    return d
+
+
 def featurize_body_tokens(
     tokens: list[str],
     token_line: list[int],
@@ -140,36 +172,20 @@ def featurize_body_tokens(
             prev_font, prev_size = font, size
             pg = ln["page"]
             idx_in_page = li - page_first[pg]
-            feats.append(
-                {
-                    "token": tok,
-                    "lowercase": tok.lower(),
-                    "prefix1": prefix(tok, 1),
-                    "prefix2": prefix(tok, 2),
-                    "prefix3": prefix(tok, 3),
-                    "prefix4": prefix(tok, 4),
-                    "suffix1": suffix(tok, 1),
-                    "suffix2": suffix(tok, 2),
-                    "suffix3": suffix(tok, 3),
-                    "suffix4": suffix(tok, 4),
-                    "block_status": block_status,
-                    "line_status": line_status,
-                    "alignment_status": "ALIGNEDLEFT",
-                    "font_status": font_status,
-                    "font_size_status": font_size_status,
-                    "bold": int(bool(ln["bold"])),
-                    "italic": int(bool(ln["italic"])),
-                    "capitalisation": capitalisation_class(tok),
-                    "digit": digit_class(tok),
-                    "single_char": int(len(tok) == 1),
-                    "punct_type": punct_type(tok),
-                    "rel_doc_position": linear_scaling(li, n_lines, NBBINS_POSITION),
-                    "rel_page_position": linear_scaling(
-                        idx_in_page, page_count[pg], NBBINS_POSITION
-                    ),
-                    "bitmap_around": 0,
-                }
+            f = dict(_token_static(tok))
+            f["block_status"] = block_status
+            f["line_status"] = line_status
+            f["alignment_status"] = "ALIGNEDLEFT"
+            f["font_status"] = font_status
+            f["font_size_status"] = font_size_status
+            f["bold"] = int(bool(ln["bold"]))
+            f["italic"] = int(bool(ln["italic"]))
+            f["rel_doc_position"] = linear_scaling(li, n_lines, NBBINS_POSITION)
+            f["rel_page_position"] = linear_scaling(
+                idx_in_page, page_count[pg], NBBINS_POSITION
             )
+            f["bitmap_around"] = 0
+            feats.append(f)
             indices.append(t)
     return feats, indices
 
