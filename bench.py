@@ -85,6 +85,9 @@ def _init_ray(num_cpus: int) -> None:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    from datacat_ray.config import PipelineConfig
+
+    PipelineConfig().apply_data_context()
 
 
 def run_extract(

@@ -30,6 +30,9 @@ def _init_ray(num_cpus: int | None) -> None:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    from datacat_ray.config import PipelineConfig
+
+    PipelineConfig().apply_data_context()
 
 
 def cmd_extract(args) -> int:

@@ -52,6 +52,12 @@ class PipelineConfig:
     # output
     output_partitions: int = 0  # 0 = leave to Ray
     lang_fallback: str = "fr"
+    # skew: Ray splits blocks larger than this, so a handful of oversized
+    # html rows (the fixture's 100-1000x-median tail) isolate into their own
+    # blocks/tasks instead of delaying co-batched documents. Applied by
+    # session owners (bench/CLI) via apply_data_context — library code never
+    # mutates the global DataContext.
+    target_block_mb: int = 32
 
     @classmethod
     def from_dict(cls, d: dict) -> "PipelineConfig":
@@ -73,3 +79,12 @@ class PipelineConfig:
 
     def to_dict(self) -> dict:
         return asdict(self)
+
+    def apply_data_context(self) -> None:
+        """Apply session-level Ray Data knobs. Call from code that OWNS the
+        Ray session (bench.py, cli.py, user scripts) — never from library
+        stages."""
+        from ray.data import DataContext
+
+        ctx = DataContext.get_current()
+        ctx.target_max_block_size = self.target_block_mb * 1024 * 1024

@@ -51,3 +51,24 @@ def test_plain_text_fallback():
     blocks = blocks_from_plain_text("line one\n\n  line two  \n")
     assert [b["text"] for b in blocks] == ["line one", "line two"]
     assert blocks[0]["page"] == 0
+
+
+def test_scanner_matches_stdlib_parser():
+    """The regex tag scanner and the stdlib HTMLParser drive the same block
+    state machine - identical output on the fixture corpus and edge cases
+    (script/style content is stripped on the scan path; stdlib leaks it
+    when flushed after the closing tag, so scripts are excluded here)."""
+    from datacat_ray.fixtures import make_pages_table
+    from datacat_ray.stages.dom import parse_main_blocks
+
+    t = make_pages_table(80, seed=13)
+    for h in t["html"].to_pylist():
+        if h is None:
+            continue
+        s = h.decode()
+        assert parse_main_blocks(s, "scan") == parse_main_blocks(s, "stdlib")
+    for s in ["", "<p>a &amp; b</p>", "no tags at all",
+              "<div><p>x<br/>y</p><!-- comment --></div>",
+              "<p>unclosed", "&lt;notatag&gt;",
+              '<nav><a href="/x">L</a></nav><p>kept body text here ok</p>']:
+        assert parse_main_blocks(s, "scan") == parse_main_blocks(s, "stdlib")
