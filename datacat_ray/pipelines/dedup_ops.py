@@ -89,14 +89,25 @@ _MH_A = _rng.randint(1, _MERSENNE, size=N_PERM, dtype=np.int64).astype(np.uint64
 _MH_B = _rng.randint(0, _MERSENNE, size=N_PERM, dtype=np.int64).astype(np.uint64)
 
 
+_POLY_B = np.uint64(1099511628211)  # FNV prime as polynomial base
+
+
 def char_shingles(text: str, k: int = SHINGLE_K) -> np.ndarray:
-    """Deterministic uint64 hashes of the k-char shingles of the lowercased,
-    whitespace-collapsed text."""
+    """Deterministic uint64 hashes of the k-byte shingles of the lowercased,
+    whitespace-collapsed UTF-8 text — fully vectorized: one shifted-add
+    polynomial pass over the byte array (k vector ops total) instead of a
+    Python hash loop per shingle (which dominated the whole MinHash
+    pipeline at 5k docs). Returns the sorted distinct hash set."""
     s = " ".join((text or "").lower().split())
-    if len(s) < k:
-        s = s.ljust(k, "_")
-    seen = {fnv1a64(s[i : i + k].encode("utf-8")) for i in range(len(s) - k + 1)}
-    return np.fromiter(seen, dtype=np.uint64, count=len(seen))
+    b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+    if len(b) < k:
+        b = np.concatenate([b, np.full(k - len(b), ord("_"), dtype=np.uint8)])
+    b = b.astype(np.uint64)
+    n = len(b) - k + 1
+    h = np.zeros(n, dtype=np.uint64)
+    for i in range(k):  # k=5 iterations of whole-array ops
+        h = h * _POLY_B + b[i : i + n]
+    return np.unique(h)
 
 
 def minhash_signature(shingles: np.ndarray) -> np.ndarray:
@@ -117,24 +128,28 @@ def band_keys(sig: np.ndarray) -> list[int]:
 
 
 def _minhash_band_rows(batch: pa.Table) -> pa.Table:
-    """documents batch → exploded (bucket, doc_id, sig) rows, 16 per doc."""
+    """documents batch → exploded (bucket, doc_id, sig) rows, 16 per doc.
+    The signature travels as ONE fixed 1 KB little-endian binary value, not
+    a list<int64> — Arrow list-of-int columns pay per-element Python
+    conversion at both ends of the shuffle; an opaque byte blob is a single
+    buffer copy."""
     doc_ids = batch["doc_id"].to_pylist()
     texts = batch["text"].to_pylist()
     out_bucket: list[int] = []
     out_doc: list[int] = []
-    out_sig: list[list[int]] = []
+    out_sig: list[bytes] = []
     for doc_id, text in zip(doc_ids, texts):
         sig = minhash_signature(char_shingles(text))
-        sig_list = sig.astype(np.int64).tolist()
+        blob = sig.astype("<u8").tobytes()
         for key in band_keys(sig):
             out_bucket.append(key)
             out_doc.append(doc_id)
-            out_sig.append(sig_list)
+            out_sig.append(blob)
     return pa.Table.from_pydict(
         {
             "bucket": pa.array(out_bucket, type=pa.int64()),
             "doc_id": pa.array(out_doc, type=pa.int64()),
-            "sig": pa.array(out_sig, type=pa.list_(pa.int64())),
+            "sig": pa.array(out_sig, type=pa.binary()),
         }
     )
 
@@ -148,7 +163,9 @@ def _bucket_pairs(group: pa.Table, threshold: float) -> pa.Table:
     a_col, b_col, est = [], [], []
     if 2 <= n <= MAX_BUCKET:
         doc_ids = group["doc_id"].to_pylist()
-        sigs = np.array(group["sig"].to_pylist(), dtype=np.int64)
+        sigs = np.vstack(
+            [np.frombuffer(b, dtype="<u8") for b in group["sig"].to_pylist()]
+        )
         order = np.argsort(doc_ids, kind="stable")
         for ii in range(n):
             for jj in range(ii + 1, n):

@@ -54,11 +54,13 @@ from datacat_ray.pipelines.similarity import (
     multi_query_topk,
 )
 from datacat_ray.pipelines.text_analysis import (
+    TOP_TERMS_SQL,
     fingerprint,
     lang_id,
     quality_score,
     text_stats,
     token_count,
+    top_terms,
 )
 from datacat_ray.pipelines.training import (
     QUALITY_BAND_EVAL_SQL,
@@ -181,6 +183,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "token_count": token_count,
         "text_stats": text_stats,
+        "top_terms": lambda sf: top_terms(sf, k=20),
         "lang_id": lang_id,
         "quality_score": quality_score,
         "fingerprint": fingerprint,
@@ -299,6 +302,7 @@ def build_oracle_sql() -> dict[str, str]:
         """,
         "train_eval_split": train_eval_split_sql(),
         "quality_band_eval": QUALITY_BAND_EVAL_SQL,
+        "top_terms": TOP_TERMS_SQL,
         # no oracle (non-SQL-expressible; driver records rows-only):
         #   extract_flagship (cascade), minhash/simhash/ngram/embedding pairs
         #   (LSH banding), knn_ivf (approximate), lang_id / quality_score /

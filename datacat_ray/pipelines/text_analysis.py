@@ -134,6 +134,57 @@ def lang_id(sf_dir: str) -> "ray.data.Dataset":
 
 
 # ---------------------------------------------------------------------------
+# top-k terms (word count with map-side combiner)
+# ---------------------------------------------------------------------------
+
+
+def top_terms(sf_dir: str, k: int = 20) -> pa.Table:
+    """Corpus-wide top-k terms by occurrence. The canonical combiner
+    pattern: each batch pre-aggregates its term counts locally (a Counter →
+    one (term, partial_count) row per DISTINCT term per batch), so the
+    groupby shuffle moves vocabulary-sized partials instead of one row per
+    token — at web scale that is ~100× less exchange volume. Final top-k
+    ties break (count DESC, term ASC), mirrored in the oracle SQL."""
+    import collections
+
+    from ray.data.aggregate import Sum
+
+    ds = _read_documents(sf_dir, ["text"])
+
+    def _partial_counts(batch: pa.Table) -> pa.Table:
+        c: collections.Counter = collections.Counter()
+        for t in batch["text"].to_pylist():
+            c.update((t or "").split())
+        return pa.Table.from_pydict(
+            {
+                "term": pa.array(list(c.keys()), type=pa.string()),
+                "partial": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    totals = (
+        ds.map_batches(_partial_counts, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("partial", alias_name="n"))
+    )
+    top = totals.sort(["n", "term"], descending=[True, False]).limit(k).take_all()
+    return pa.Table.from_pydict(
+        {
+            "term": pa.array([r["term"] for r in top], type=pa.string()),
+            "n": pa.array([r["n"] for r in top], type=pa.int64()),
+        }
+    )
+
+
+TOP_TERMS_SQL = """
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ) WHERE term <> ''
+    GROUP BY term ORDER BY n DESC, term ASC LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
 # quality scoring
 # ---------------------------------------------------------------------------
 
