@@ -36,7 +36,8 @@ from datacat_ray.stages.dom import (
     parse_main_blocks,
 )
 from datacat_ray.stages.line_features import featurize_lines
-from datacat_ray.stages.models import BODY_MODEL, SEGMENTER_MODEL
+from datacat_ray.stages.lexical_features import featurize_entry_tokens
+from datacat_ray.stages.models import BODY_MODEL, LEXICAL_MODEL, SEGMENTER_MODEL
 from datacat_ray.stages.tei import (
     assemble_body_tei,
     assemble_segmenter_tei,
@@ -80,6 +81,7 @@ RESULT_SCHEMA = pa.schema(
         ("tei_body", pa.string()),
         ("zones", pa.list_(ZONE_STRUCT)),
         ("entries", pa.list_(ZONE_STRUCT)),
+        ("lexical", pa.list_(ZONE_STRUCT)),
         ("n_lines", pa.int32()),
         ("n_tokens", pa.int32()),
         ("error", pa.string()),
@@ -107,8 +109,23 @@ class FusedExtractStage:
     def __init__(self, max_tokens: int = 30_000, max_blocks: int = 3_000) -> None:
         self.seg = CRFDecoder(SEGMENTER_MODEL)
         self.body = CRFDecoder(BODY_MODEL)
+        self.lexical = CRFDecoder(LEXICAL_MODEL)
         self.max_tokens = max_tokens
         self.max_blocks = max_blocks
+
+    def _lexical_spans(self, tokens: list[str], entries: list[dict]) -> list[dict]:
+        """Third cascade level: label the tokens of each ``<entry>`` run
+        with lexical fields (num/category/desc/count/material)."""
+        spans: list[dict] = []
+        for run in entries:
+            if run["label"] != "<entry>":
+                continue
+            feats, idx = featurize_entry_tokens(tokens, run["start"], run["end"])
+            if not feats:
+                continue
+            labels = self.lexical.decode(feats)
+            spans.extend(body_label_runs(labels, idx))
+        return spans
 
     def _one(self, url, lang, html, text):
         """(extracted_text, main_text, tei, tei_body, zones, entries,
@@ -120,16 +137,17 @@ class FusedExtractStage:
         else:
             blocks = []
         if len(blocks) > self.max_blocks:
-            return "", "", "", "", [], [], 0, 0, f"TOO_MANY_BLOCKS: {len(blocks)}"
+            return "", "", "", "", [], [], [], 0, 0, f"TOO_MANY_BLOCKS: {len(blocks)}"
         lines, tokens, token_line = tokenize_document(blocks)
         if len(tokens) > self.max_tokens:
-            return "", "", "", "", [], [], 0, 0, f"TOO_MANY_TOKENS: {len(tokens)}"
+            return "", "", "", "", [], [], [], 0, 0, f"TOO_MANY_TOKENS: {len(tokens)}"
         feats = featurize_lines(lines)
         line_labels = with_begin_prefix(self.seg.decode(feats))
         zones = decode_zones(line_labels, token_line, len(tokens))
         body_ranges = zone_token_indices(zones, "<body>")
         bfeats, idx = featurize_body_tokens(tokens, token_line, lines, body_ranges)
         entries = body_label_runs(self.body.decode(bfeats), idx)
+        lexical = self._lexical_spans(tokens, entries)
         return (
             extracted_text(tokens),
             unwrapped_text(lines),
@@ -137,6 +155,7 @@ class FusedExtractStage:
             assemble_body_tei(url, lang, tokens, entries),
             zones,
             entries,
+            lexical,
             len(lines),
             len(tokens),
             None,
@@ -152,11 +171,11 @@ class FusedExtractStage:
             batch["text"].to_pylist(),
         ):
             try:
-                (text_out, main, tei, tei_body, zones, entries,
+                (text_out, main, tei, tei_body, zones, entries, lexical,
                  n_lines, n_tokens, err) = self._one(url, lang, html, text)
             except Exception as exc:  # noqa: BLE001 — poison-row side output
                 text_out = main = tei = tei_body = ""
-                zones, entries, n_lines, n_tokens = [], [], 0, 0
+                zones, entries, lexical, n_lines, n_tokens = [], [], [], 0, 0
                 err = f"{type(exc).__name__}: {exc}"
             res["url"].append(url)
             res["warc_ts"].append(ts)
@@ -167,6 +186,7 @@ class FusedExtractStage:
             res["tei_body"].append(tei_body)
             res["zones"].append(zones)
             res["entries"].append(entries)
+            res["lexical"].append(lexical)
             res["n_lines"].append(n_lines)
             res["n_tokens"].append(n_tokens)
             res["error"].append(err)
@@ -207,6 +227,7 @@ class BodyStage:
 
     def __init__(self) -> None:
         self.decoder = CRFDecoder(BODY_MODEL)
+        self._lex = FusedExtractStage()  # reuse the lexical-level decode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
@@ -231,12 +252,13 @@ class BodyStage:
                 )
                 body_labels = self.decoder.decode(feats)
                 entries = body_label_runs(body_labels, idx)
+                lexical = self._lex._lexical_spans(tokens, entries)
                 text = extracted_text(tokens)
                 main = unwrapped_text(lines)
                 tei = assemble_segmenter_tei(url, lang, lines, line_labels)
                 tei_body = assemble_body_tei(url, lang, tokens, entries)
             except Exception as exc:  # noqa: BLE001 — poison-row side output
-                entries, text, main, tei, tei_body = [], "", "", "", ""
+                entries, lexical, text, main, tei, tei_body = [], [], "", "", "", ""
                 err = err or f"{type(exc).__name__}: {exc}"
             res["url"].append(url)
             res["warc_ts"].append(ts)
@@ -247,6 +269,7 @@ class BodyStage:
             res["tei_body"].append(tei_body)
             res["zones"].append(zones)
             res["entries"].append(entries)
+            res["lexical"].append(lexical)
             res["n_lines"].append(len(lines))
             res["n_tokens"].append(len(tokens))
             res["error"].append(err)

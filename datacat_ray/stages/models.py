@@ -169,3 +169,87 @@ BODY_MODEL = CRFModel(
     init={lb: -8.0 for lb in BODY_BASE_LABELS} | {"I-<title>": 0.5},
     sticky=0.0,
 )
+
+# ---------------------------------------------------------------------------
+# lexical-entry model (third cascade level; per-token within one <entry>)
+# the reference stubs this level as EntryItem (EntryItem.java:20-31)
+# ---------------------------------------------------------------------------
+
+LEXICAL_LABELS = ("<num>", "<category>", "<desc>", "<count>", "<material>", "<other>")
+
+LEXICAL_TEMPLATES = (
+    ("Ulow", ((0, "lowercase"),)),
+    ("Udig", ((0, "digit"),)),
+    ("Ucap", ((0, "capitalisation"),)),
+    ("Upunc", ((0, "punct_type"),)),
+    ("Uprev", ((0, "prev_punct"),)),
+    ("Unext", ((0, "next_lower"),)),
+    ("Upos", ((0, "entry_position"),)),
+    ("Udigpos", ((0, "digit"), (0, "entry_position"))),
+    ("Udignext", ((0, "digit"), (0, "next_lower"))),
+    ("Ucol", ((0, "seen_colon"),)),
+    ("Ucolcap", ((0, "seen_colon"), (0, "capitalisation"))),
+)
+
+_MATERIAL_CODES = ("ar", "av", "br", "el", "pb")  # fixture materials
+
+
+def _lexical_weights() -> dict[str, dict[str, float]]:
+    w: dict[str, dict[str, float]] = {}
+    # leading lot number: digits at entry position 0
+    w["Udigpos:ALLDIGIT|0"] = {"<num>": 4.0}
+    # category: capitalized words early in the entry
+    w["Ucap:INITCAP"] = {"<category>": 1.6}
+    w["Upos:0"] = {"<category>": 0.5}
+    w["Upos:1"] = {"<category>": 0.5}
+    # the colon splits category (before) from description (after)
+    w["Ucol:0"] = {"<category>": 1.0, "<desc>": -1.5}
+    w["Ucol:1"] = {"<desc>": 1.0, "<category>": -2.0}
+    w["Ucolcap:1|NOCAPS"] = {"<desc>": 0.8}
+    # count: digits followed by the count noun
+    w["Udignext:ALLDIGIT|pièces"] = {"<count>": 5.0, "<desc>": -2.0}
+    w["Udignext:ALLDIGIT|pièce"] = {"<count>": 5.0, "<desc>": -2.0}
+    w["Ulow:pièces"] = {"<count>": 3.0}
+    w["Ulow:pièce"] = {"<count>": 3.0}
+    # material code: known codes, late in the entry
+    for c in _MATERIAL_CODES:
+        w[f"Ulow:{c}"] = {"<material>": 3.5}
+    # punctuation is structural
+    w["Upunc:DOT"] = {"<other>": 2.5, "<category>": -1.0, "<desc>": -1.0}
+    w["Upunc:COMMA"] = {"<other>": 1.5}
+    w["Upunc:PUNCT"] = {"<other>": 2.0, "<category>": -1.0, "<desc>": -0.5}
+    w["Upunc:HYPHEN"] = {"<other>": 1.0}
+    w["Upunc:OPENBRACKET"] = {"<other>": 1.0}
+    w["Upunc:ENDBRACKET"] = {"<other>": 1.0}
+    w["Upunc:QUOTE"] = {"<other>": 1.0}
+    return w
+
+
+def _lexical_transitions() -> dict[tuple[str, str], float]:
+    order = ["<num>", "<category>", "<desc>", "<count>", "<material>"]
+    t: dict[tuple[str, str], float] = {}
+    for lb in LEXICAL_LABELS:
+        t[(lb, lb)] = 1.2  # sticky runs
+    # forward progression prior (num → category → desc → count → material)
+    for i, a in enumerate(order):
+        for j, b in enumerate(order):
+            if j < i:
+                t[(a, b)] = t.get((a, b), 0.0) - 3.0  # discourage regress
+    # structural <other> freely interleaves
+    for lb in order:
+        t[("<other>", lb)] = 0.2
+        t[(lb, "<other>")] = 0.2
+    # forward progression bonus along the canonical entry grammar
+    for a, b in zip(order, order[1:]):
+        t[(a, b)] = t.get((a, b), 0.0) + 0.5
+    return t
+
+
+LEXICAL_MODEL = CRFModel(
+    labels=LEXICAL_LABELS,
+    templates=LEXICAL_TEMPLATES,
+    weights=_lexical_weights(),
+    transitions=_lexical_transitions(),
+    init={"<num>": 1.0, "<desc>": -1.0, "<count>": -1.0, "<material>": -1.0},
+    sticky=0.0,
+)
