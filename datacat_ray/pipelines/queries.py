@@ -37,7 +37,9 @@ from datacat_ray.pipelines.extract import build_extract_pipeline
 from datacat_ray.pipelines.multimodal import image_metadata
 from datacat_ray.pipelines.multimodal import audio_frames
 from datacat_ray.pipelines.relational import (
+    ASOF_PURCHASE_SQL,
     SHIP_CUTOFF,
+    asof_purchase_attribution,
     distinct_event_types,
     docs_by_lang,
     events_per_user_day,
@@ -167,6 +169,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_segment": revenue_by_segment,
         "events_per_user_day": events_per_user_day,
         "user_sessions": user_sessions,
+        "asof_purchase_attribution": asof_purchase_attribution,
         "distinct_event_types": distinct_event_types,
         "docs_by_lang": docs_by_lang,
         # dedup family (D1 + training-data ops)
@@ -287,6 +290,7 @@ def build_oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 10
         """,
         "user_sessions": user_sessions_sql(),
+        "asof_purchase_attribution": ASOF_PURCHASE_SQL,
         "knn_multi_query": """
             SELECT query_vec_id, vec_id, rank FROM (
                 SELECT q.vec_id AS query_vec_id, e.vec_id,

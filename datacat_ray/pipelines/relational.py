@@ -207,6 +207,69 @@ def user_sessions_sql(gap_min: int = SESSION_GAP_MIN) -> str:
     """
 
 
+def asof_purchase_attribution(sf_dir: str) -> "ray.data.Dataset":
+    """AS-OF JOIN (an operator Ray Data lacks; SURVEY.md §2.9 custom-op
+    path (a) — composition of map_batches + groupby.map_groups): each
+    'purchase' event joins the LATEST strictly-earlier 'click' by the same
+    user. Partitioning assumption: both sides co-partition on the join key
+    (user_id), so the merge is a per-group vectorized ``searchsorted`` over
+    ts — one hash shuffle, no global sort. Purchases with no prior click
+    drop (inner as-of), mirroring DuckDB's ASOF JOIN oracle."""
+    import numpy as np
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def _sides(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            t["event_type"], value_set=pa.array(["purchase", "click"])
+        )
+        return t.filter(keep)
+
+    def _attr(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        g = g.take(order)
+        types = g["event_type"].to_pylist()
+        ts = g["ts"].cast(pa.int64()).to_numpy()  # µs
+        ids = g["event_id"].to_numpy()
+        click_mask = np.array([t == "click" for t in types])
+        p_mask = ~click_mask
+        c_ts, c_ids = ts[click_mask], ids[click_mask]
+        p_ts, p_ids = ts[p_mask], ids[p_mask]
+        if len(c_ts) == 0 or len(p_ts) == 0:
+            return pa.Table.from_pydict(
+                {"purchase_id": pa.array([], pa.int64()),
+                 "click_id": pa.array([], pa.int64()),
+                 "gap_us": pa.array([], pa.int64())}
+            )
+        pos = np.searchsorted(c_ts, p_ts, side="left") - 1  # latest ts < p_ts
+        ok = pos >= 0
+        return pa.Table.from_pydict(
+            {
+                "purchase_id": pa.array(p_ids[ok], type=pa.int64()),
+                "click_id": pa.array(c_ids[pos[ok]], type=pa.int64()),
+                "gap_us": pa.array(p_ts[ok] - c_ts[pos[ok]], type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(_sides, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(_attr, batch_format="pyarrow")
+    )
+
+
+ASOF_PURCHASE_SQL = """
+    SELECT l.event_id AS purchase_id,
+           r.event_id AS click_id,
+           CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') r
+      ON l.user_id = r.user_id AND l.ts > r.ts
+"""
+
+
 def distinct_event_types(sf_dir: str) -> pa.Table:
     """Distinct values of a column (shuffle-distinct)."""
     ds = _read(sf_dir, "events", ["event_type"])
