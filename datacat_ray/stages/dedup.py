@@ -33,8 +33,12 @@ def _dedup_batch(batch: pa.Table, key: str, ts: str) -> pa.Table:
     n = batch.num_rows
     if n <= 1:
         return batch
+    # nulls sort FIRST: a null capture time means "unknown, oldest" — the
+    # default at_end placement would crown a null-ts row as latest
     order = pc.sort_indices(
-        batch, sort_keys=[(key, "ascending"), (ts, "ascending")]
+        batch,
+        sort_keys=[(key, "ascending"), (ts, "ascending")],
+        null_placement="at_start",
     )
     sorted_keys = pc.take(batch[key], order).combine_chunks()
     # a sorted row wins if the NEXT sorted row has a different key (or none)

@@ -30,3 +30,30 @@ def test_dedup_latest_global(ray_session):
     got = {r["url"]: r["payload"] for r in out}
     assert got == {"a": "a7", "b": "b20", "c": "c5"}
     assert len(out) == 3
+
+
+def test_dedup_null_ts_never_wins():
+    t = pa.Table.from_pydict(
+        {"url": ["a", "a", "b"], "warc_ts": pa.array([7, None, None], pa.int64()),
+         "payload": ["a7", "aN", "bN"]}
+    )
+    out = _dedup_batch(t, "url", "warc_ts")
+    got = dict(zip(out["url"].to_pylist(), out["payload"].to_pylist()))
+    assert got["a"] == "a7"  # non-null beats null
+    assert got["b"] == "bN"  # all-null url still survives
+
+
+def test_compute_winners_distributed_path(ray_session, tmp_path, monkeypatch):
+    """Force the Ray Data winner branch (normally only above 5M rows) and
+    check it agrees with the polars driver fast path."""
+    import pyarrow.parquet as pq
+
+    from datacat_ray.stages import dedup as D
+    from datacat_ray.fixtures import make_pages_table
+
+    p = tmp_path / "pages.parquet"
+    pq.write_table(make_pages_table(50, seed=3), str(p))
+    fast = D.compute_winners(str(tmp_path))
+    monkeypatch.setattr(D, "_DRIVER_WINNER_ROWS", 0)
+    dist = D.compute_winners(str(tmp_path))
+    assert fast == dist
