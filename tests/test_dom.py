@@ -72,3 +72,29 @@ def test_scanner_matches_stdlib_parser():
               "<p>unclosed", "&lt;notatag&gt;",
               '<nav><a href="/x">L</a></nav><p>kept body text here ok</p>']:
         assert parse_main_blocks(s, "scan") == parse_main_blocks(s, "stdlib")
+
+
+def test_strip_realistic_boilerplate_shapes():
+    """Chrome shapes beyond the fixture generator: cookie banner in an
+    aside, nested nav, link-farm div, table-based layout with real
+    content."""
+    from datacat_ray.stages.dom import parse_main_blocks
+
+    html = (
+        "<html><body>"
+        '<aside class="cookie">We use cookies. <a href="/ok">Accept</a></aside>'
+        "<nav><ul><li><a href='/a'>Home</a></li><li><a href='/b'>Shop</a></li></ul></nav>"
+        '<div><a href="/1">x</a> <a href="/2">y</a> <a href="/3">z</a></div>'
+        "<table><tr><td>Vente du 3 mai 1901 contenant des monnaies anciennes</td></tr>"
+        "<tr><td>12. Monnaies grecques: oboles ; 5 pièces. AR.</td></tr></table>"
+        "<footer>Copyright 2020</footer>"
+        "</body></html>"
+    )
+    texts = [b["text"] for b in parse_main_blocks(html)]
+    joined = " ".join(texts)
+    assert "Vente du 3 mai 1901" in joined
+    assert "12. Monnaies grecques" in joined
+    assert "cookies" not in joined  # aside = chrome container
+    assert "Home" not in joined and "Shop" not in joined
+    assert "Copyright" not in joined
+    assert all("x y z" not in t for t in texts)  # link farm: link-density kill
