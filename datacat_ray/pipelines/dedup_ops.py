@@ -310,39 +310,77 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> "ray.data.Dataset":
 # ---------------------------------------------------------------------------
 
 
-def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6) -> "ray.data.Dataset":
+def _exact_jaccard_batch(batch: pa.Table, threshold: float) -> pa.Table:
+    """(doc_a, doc_b, text_a, text_b) → pairs whose EXACT shingle Jaccard
+    meets the threshold."""
+    keep_a, keep_b, jac = [], [], []
+    for x, y, ta, tb in zip(
+        batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist(),
+        batch["text_a"].to_pylist(), batch["text_b"].to_pylist(),
+    ):
+        sa = set(char_shingles(ta).tolist())
+        sb = set(char_shingles(tb).tolist())
+        j = len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+        if j >= threshold:
+            keep_a.append(x)
+            keep_b.append(y)
+            jac.append(round(j, 6))
+    return pa.Table.from_pydict(
+        {
+            "doc_a": pa.array(keep_a, type=pa.int64()),
+            "doc_b": pa.array(keep_b, type=pa.int64()),
+            "jaccard": pa.array(jac, type=pa.float64()),
+        }
+    )
+
+
+def ngram_jaccard_pairs(
+    sf_dir: str, threshold: float = 0.6, method: str = "broadcast"
+) -> "ray.data.Dataset":
     """MinHash-LSH candidates re-verified with EXACT shingle Jaccard.
 
-    The texts are broadcast once via ``ray.put`` (small-side lookup read in
-    every task — NOT re-shipped per batch). At 10^12 docs this broadcast is
-    replaced by a bucketed join of candidates against the documents table on
-    doc_id; semantics identical."""
+    ``method="broadcast"`` (bench scale): texts shipped once via ``ray.put``
+    and looked up per task. ``method="join"`` (the 10^12-doc path, tested
+    equivalent): candidates hash-join against the documents table on doc_id
+    — twice, once per pair side — so no driver-side text materialization
+    ever happens; the shuffle moves only candidate rows + their two texts."""
+    cands = minhash_candidate_pairs(sf_dir, threshold=0.5)
+
+    if method == "join":
+        # partition count sized to the session: each hash-join partition is
+        # backed by an aggregator actor reserving a core — two 16-partition
+        # joins DEADLOCK a 4-CPU session outright (measured), so cap at
+        # half the CPUs per join
+        n_parts = max(2, min(16, int(ray.cluster_resources().get("CPU", 8)) // 2))
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        a_side = docs.map_batches(
+            lambda t: t.rename_columns(["doc_a", "text_a"]), batch_format="pyarrow"
+        )
+        b_side = docs.map_batches(
+            lambda t: t.rename_columns(["doc_b", "text_b"]), batch_format="pyarrow"
+        )
+        joined = cands.join(a_side, "inner", n_parts, on=("doc_a",)).join(
+            b_side, "inner", n_parts, on=("doc_b",)
+        )
+        return joined.map_batches(
+            lambda b: _exact_jaccard_batch(b, threshold), batch_format="pyarrow"
+        )
+
     import pyarrow.parquet as pq
 
     docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     text_ref = ray.put(dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())))
-    cands = minhash_candidate_pairs(sf_dir, threshold=0.5)
 
     def _verify(batch: pa.Table) -> pa.Table:
         texts = ray.get(text_ref)
-        a = batch["doc_a"].to_pylist()
-        b = batch["doc_b"].to_pylist()
-        keep_a, keep_b, jac = [], [], []
-        for x, y in zip(a, b):
-            sa = set(char_shingles(texts[x]).tolist())
-            sb = set(char_shingles(texts[y]).tolist())
-            j = len(sa & sb) / len(sa | sb) if sa | sb else 0.0
-            if j >= threshold:
-                keep_a.append(x)
-                keep_b.append(y)
-                jac.append(round(j, 6))
-        return pa.Table.from_pydict(
-            {
-                "doc_a": pa.array(keep_a, type=pa.int64()),
-                "doc_b": pa.array(keep_b, type=pa.int64()),
-                "jaccard": pa.array(jac, type=pa.float64()),
-            }
+        t = batch.append_column(
+            "text_a", pa.array([texts[x] for x in batch["doc_a"].to_pylist()])
+        ).append_column(
+            "text_b", pa.array([texts[y] for y in batch["doc_b"].to_pylist()])
         )
+        return _exact_jaccard_batch(t, threshold)
 
     return cands.map_batches(_verify, batch_format="pyarrow")
 

@@ -215,6 +215,46 @@ def eval_metrics(pairs: "ray.data.Dataset") -> pa.Table:
     )
 
 
+def format_eval_report(metrics: pa.Table, accuracy_total: int | None = None) -> str:
+    """Render metrics in the reference's committed ``eval.txt`` layout
+    (``resources/models/*/prev_models/*/eval.txt``): a ``Field-level
+    results`` table with per-label precision/recall/f1/support and micro
+    averages. Accuracy requires the total token count; omitted rows print
+    a dash."""
+    rows = metrics.to_pylist()
+    per_label = [r for r in rows if r["label"] != "__micro__"]
+    micro = next((r for r in rows if r["label"] == "__micro__"), None)
+
+    def fmt(v_micros: int) -> str:
+        return f"{v_micros / 10_000:.2f}"
+
+    out = ["===== Field-level results =====", "",
+           f"{'label':20s} {'accuracy':12s} {'precision':12s} "
+           f"{'recall':12s} {'f1':12s} {'support':s}", ""]
+    for r in per_label:
+        support = r["tp"] + r["fn"]
+        if accuracy_total:
+            acc = f"{100 * (accuracy_total - r['fp'] - r['fn']) / accuracy_total:.2f}"
+        else:
+            acc = "-"
+        out.append(
+            f"{r['label']:20s} {acc:12s} {fmt(r['precision_micros']):12s} "
+            f"{fmt(r['recall_micros']):12s} {fmt(r['f1_micros']):12s} "
+            f"{support}"
+        )
+    if micro:
+        support = micro["tp"] + micro["fn"]
+        acc = (
+            f"{100 * micro['tp'] / accuracy_total:.2f}" if accuracy_total else "-"
+        )
+        out += ["",
+                f"{'all (micro avg.)':20s} {acc:12s} "
+                f"{fmt(micro['precision_micros']):12s} "
+                f"{fmt(micro['recall_micros']):12s} "
+                f"{fmt(micro['f1_micros']):12s} {support}"]
+    return "\n".join(out) + "\n"
+
+
 def quality_band_eval(sf_dir: str) -> pa.Table:
     """A5 demo with a SQL oracle: gold = length band at 150 chars, pred =
     length band at 200 chars (both bands computable identically in SQL, so

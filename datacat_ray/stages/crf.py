@@ -201,6 +201,43 @@ class CRFDecoder:
         return [self.labels[i] for i in path]
 
 
+def parse_crfpp_template(
+    text: str, field_names: list[str]
+) -> tuple[tuple[str, tuple[tuple[int, str], ...]], ...]:
+    """CRF++ template-file parser (SURVEY.md §2.9 feature-template surface;
+    grammar of ``resources/dataset/*/crfpp-templates/*.template``):
+
+    - ``U00:%x[-4,0]`` — unigram feature: tag ``U00``, value of column 0 at
+      relative row -4; ``field_names[col]`` maps positional columns to this
+      engine's named feature fields.
+    - ``U0A:%x[-1,0]/%x[0,0]`` — conjunction of several refs.
+    - ``#`` comments and blank lines skipped; a bare ``B`` line (bigram /
+      transition marker) is skipped — transitions are dense in ``CRFModel``.
+
+    CRF++ semantics kept faithfully, including the duplicate-tag collision
+    foot-gun (the reference template reuses ``U00`` for different columns;
+    expanded features collide exactly as they would in CRF++, because the
+    feature id is ``tag:joined-values``)."""
+    import re
+
+    ref_re = re.compile(r"%x\[(-?\d+),(\d+)\]")
+    out: list[tuple[str, tuple[tuple[int, str], ...]]] = []
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        if line == "B":
+            continue
+        tag, _, body = line.partition(":")
+        refs = tuple(
+            (int(m.group(1)), field_names[int(m.group(2))])
+            for m in ref_re.finditer(body)
+        )
+        if refs:
+            out.append((tag, refs))
+    return tuple(out)
+
+
 def with_begin_prefix(labels: list[str]) -> list[str]:
     """Add the reference's ``I-`` begin prefix at run starts (the labeled
     sequence format consumed at ``DatacatSegmenterParser.java:864-952``)."""

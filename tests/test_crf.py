@@ -81,3 +81,60 @@ def test_body_model_starts_with_begin_state():
     labels = dec.decode(feats)
     assert labels[0].startswith("I-")
     assert labels[0] == "I-<entry>"
+
+
+def test_parse_crfpp_template_inline():
+    from datacat_ray.stages.crf import parse_crfpp_template
+
+    text = """# Token (0)
+U00:%x[-1,0]
+U04:%x[0,0]
+
+# conjunction
+U0A:%x[-1,0]/%x[0,1]
+B
+"""
+    fields = ["token", "lowercase"]
+    t = parse_crfpp_template(text, fields)
+    assert t == (
+        ("U00", ((-1, "token"),)),
+        ("U04", ((0, "token"),)),
+        ("U0A", ((-1, "token"), (0, "lowercase"))),
+    )
+
+
+def test_parse_reference_template_files():
+    """Parse the reference's real committed CRF++ templates (read-only)."""
+    import os
+
+    import pytest
+
+    from datacat_ray.stages.crf import parse_crfpp_template
+
+    base = "/root/reference/resources/dataset"
+    seg = f"{base}/datacat-segmenter/crfpp-templates/datacat-segmenter.template"
+    if not os.path.exists(seg):
+        pytest.skip("reference checkout not present")
+    fields = [f"f{i}" for i in range(40)]  # positional stand-in names
+    t = parse_crfpp_template(open(seg).read(), fields)
+    assert len(t) > 30
+    cols = {name for _, refs in t for _, name in refs}
+    assert "f0" in cols and "f32" in cols  # 33-column vector referenced
+
+
+def test_format_eval_report_layout():
+    import pyarrow as pa
+
+    from datacat_ray.pipelines.training import format_eval_report
+
+    m = pa.table({
+        "label": ["<entry>", "__micro__"],
+        "tp": [86, 86], "fp": [13, 13], "fn": [15, 15],
+        "precision_micros": [868686, 868686],
+        "recall_micros": [851485, 851485],
+        "f1_micros": [860000, 860000],
+    })
+    rep = format_eval_report(m, accuracy_total=1000)
+    assert "===== Field-level results =====" in rep
+    assert "<entry>" in rep and "all (micro avg.)" in rep
+    assert "86.87" in rep  # precision rendered at 2 decimals

@@ -57,3 +57,16 @@ def test_compute_winners_distributed_path(ray_session, tmp_path, monkeypatch):
     monkeypatch.setattr(D, "_DRIVER_WINNER_ROWS", 0)
     dist = D.compute_winners(str(tmp_path))
     assert fast == dist
+
+
+def test_ngram_jaccard_join_path_matches_broadcast(ray_session):
+    """The 10^12-doc verification path (hash-join candidates against the
+    documents table) must equal the bench-scale broadcast path."""
+    from datacat_ray.pipelines.dedup_ops import ngram_jaccard_pairs
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted(map(tuple, ngram_jaccard_pairs(sf, method="broadcast")
+                   .to_pandas().values.tolist()))
+    b = sorted(map(tuple, ngram_jaccard_pairs(sf, method="join")
+                   .to_pandas().values.tolist()))
+    assert a == b and len(a) > 0
