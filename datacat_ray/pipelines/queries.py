@@ -38,9 +38,11 @@ from datacat_ray.pipelines.multimodal import image_metadata
 from datacat_ray.pipelines.multimodal import audio_frames
 from datacat_ray.pipelines.relational import (
     ASOF_PURCHASE_SQL,
+    REVENUE_BY_REGION_NATION_SQL,
     SHIP_CUTOFF,
     asof_purchase_attribution,
     distinct_event_types,
+    revenue_by_region_nation,
     docs_by_lang,
     events_per_user_day,
     filter_project,
@@ -50,6 +52,7 @@ from datacat_ray.pipelines.relational import (
     user_sessions,
     user_sessions_sql,
 )
+from datacat_ray.pipelines.sketches import approx_distinct_users
 from datacat_ray.pipelines.similarity import (
     brute_force_topk,
     ivf_topk,
@@ -171,6 +174,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": user_sessions,
         "asof_purchase_attribution": asof_purchase_attribution,
         "distinct_event_types": distinct_event_types,
+        "revenue_by_region_nation": revenue_by_region_nation,
+        "approx_distinct_users": approx_distinct_users,
         "docs_by_lang": docs_by_lang,
         # dedup family (D1 + training-data ops)
         "latest_events": latest_events,
@@ -291,6 +296,7 @@ def build_oracle_sql() -> dict[str, str]:
         """,
         "user_sessions": user_sessions_sql(),
         "asof_purchase_attribution": ASOF_PURCHASE_SQL,
+        "revenue_by_region_nation": REVENUE_BY_REGION_NATION_SQL,
         "knn_multi_query": """
             SELECT query_vec_id, vec_id, rank FROM (
                 SELECT q.vec_id AS query_vec_id, e.vec_id,

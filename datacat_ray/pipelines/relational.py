@@ -277,6 +277,65 @@ def distinct_event_types(sf_dir: str) -> pa.Table:
     return pa.Table.from_pydict({"event_type": pa.array(vals, type=pa.string())})
 
 
+def revenue_by_region_nation(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q5-shape: lineitem revenue rolled up to (region, nation) via a
+    CASCADE of broadcast dimension joins — supplier→nation→region are tiny,
+    so the composed suppkey→(region_name, nation_name) map ships once via
+    ``ray.put`` and the fact table never shuffles until the final small
+    groupby. This is the star-schema pattern for the 100 TB case: dimension
+    joins are lookups, only the rollup exchanges data."""
+    import pyarrow.parquet as pq
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    n_name = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
+    n_reg = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_regionkey"].to_pylist()))
+    r_name = dict(zip(reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist()))
+    lookup = {
+        sk: (r_name[n_reg[nk]], n_name[nk])
+        for sk, nk in zip(sup["s_suppkey"].to_pylist(), sup["s_nationkey"].to_pylist())
+    }
+    ref = ray.put(lookup)
+
+    def _join(t: pa.Table) -> pa.Table:
+        lk = ray.get(ref)
+        pairs = [lk.get(s) for s in t["l_suppkey"].to_pylist()]
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        out = pa.Table.from_pydict(
+            {
+                "r_name": pa.array([p[0] if p else None for p in pairs], pa.string()),
+                "n_name": pa.array([p[1] if p else None for p in pairs], pa.string()),
+                "revenue": rev,
+            }
+        )
+        return out.filter(pc.is_valid(out["r_name"]))
+
+    ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
+    out = ds.map_batches(_join, batch_format="pyarrow").groupby(
+        ["r_name", "n_name"]
+    ).aggregate(
+        Sum("revenue", alias_name="revenue_cents"),
+        Count(alias_name="n_items"),
+    )
+    return scale_to_int64(out, {"revenue_cents": 100})
+
+
+REVENUE_BY_REGION_NATION_SQL = """
+    SELECT r_name, n_name,
+           CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+               AS revenue_cents,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+"""
+
+
 def docs_by_lang(sf_dir: str) -> "ray.data.Dataset":
     """Documents per lang with char-length stats (SQL-checkable)."""
     ds = _read(sf_dir, "documents", ["lang", "n_chars"])

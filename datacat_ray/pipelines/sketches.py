@@ -1,0 +1,92 @@
+"""Distributed sketches (training-data ops — cardinality estimation).
+
+The reference has no approx/sketch operators (SURVEY.md §2.5 "distinct /
+sketches: none"); at 10^12 documents exact distinct counts of high-card
+columns (urls, shingles, tokens) are shuffle-bound, so a mergeable sketch
+is a first-class primitive. HyperLogLog here: per-batch register arrays
+(vectorized numpy), merged by elementwise max — an associative/commutative
+combine, so it composes as map_batches partials + a tiny driver fold (or a
+tree reduce at cluster scale) with NO shuffle of raw values.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+HLL_P = 12  # 2^12 = 4096 registers → ~1.6% standard error
+_M = 1 << HLL_P
+_ALPHA = 0.7213 / (1 + 1.079 / _M)
+
+
+def _hash64(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    import polars as pl
+
+    s = pl.from_arrow(arr)
+    return s.hash(seed=20260819).to_numpy().astype(np.uint64)
+
+
+def hll_registers(values: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """One batch → 4096-register uint8 array, fully vectorized: bucket =
+    top P hash bits, rank = leading-zero count of the rest + 1
+    (via log2 on the remaining 52-bit value)."""
+    h = _hash64(values)
+    bucket = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+    rest = h << np.uint64(HLL_P) | np.uint64((1 << HLL_P) - 1)  # pad low bits
+    # leading zeros of `rest` within 64 bits; rest != 0 by construction
+    lz = 63 - np.floor(np.log2(rest.astype(np.float64))).astype(np.int64)
+    rank = (lz + 1).astype(np.uint8)
+    regs = np.zeros(_M, dtype=np.uint8)
+    np.maximum.at(regs, bucket, rank)
+    return regs
+
+
+def hll_merge(parts: list[np.ndarray]) -> np.ndarray:
+    out = np.zeros(_M, dtype=np.uint8)
+    for p in parts:
+        np.maximum(out, p, out=out)
+    return out
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    est = _ALPHA * _M * _M / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * _M and zeros:
+        est = _M * np.log(_M / zeros)  # small-range correction
+    return float(est)
+
+
+def approx_distinct(
+    ds: "ray.data.Dataset", column: str
+) -> tuple[int, float]:
+    """(approx_distinct, relative_error_bound). Each batch contributes a
+    register partial; partials merge on the driver (4 KB each — at cluster
+    scale a tree reduce, never a value shuffle)."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        regs = hll_registers(t[column])
+        return pa.Table.from_pydict({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    parts = [
+        np.frombuffer(row["regs"], dtype=np.uint8)
+        for row in ds.map_batches(_partial, batch_format="pyarrow").take_all()
+    ]
+    est = hll_estimate(hll_merge(parts))
+    return round(est), 1.04 / (_M ** 0.5)
+
+
+def approx_distinct_users(sf_dir: str) -> pa.Table:
+    """Approx vs exact distinct user_id over events (the exact side is the
+    correctness anchor; the approx side is the 10^12-scale path)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    approx, err = approx_distinct(ds, "user_id")
+    exact = len(ds.unique("user_id"))
+    return pa.Table.from_pydict(
+        {
+            "exact": pa.array([exact], pa.int64()),
+            "approx": pa.array([approx], pa.int64()),
+            "rel_error_bound": pa.array([round(err, 4)], pa.float64()),
+        }
+    )

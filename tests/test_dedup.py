@@ -70,3 +70,34 @@ def test_ngram_jaccard_join_path_matches_broadcast(ray_session):
     b = sorted(map(tuple, ngram_jaccard_pairs(sf, method="join")
                    .to_pandas().values.tolist()))
     assert a == b and len(a) > 0
+
+
+def test_hll_approx_distinct(ray_session):
+    """HLL sketch: within the error bound of exact distinct, and register
+    merge is order-insensitive."""
+    import numpy as np
+
+    import ray.data
+
+    from datacat_ray.pipelines.sketches import (
+        approx_distinct,
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+    import pyarrow as pa
+
+    vals = pa.array([f"u{i}" for i in range(5000)] * 3)  # 5000 distinct
+    regs = hll_registers(vals)
+    est = hll_estimate(regs)
+    assert abs(est - 5000) / 5000 < 0.05
+    # split-merge == whole
+    a = hll_registers(vals.slice(0, 7000))
+    b = hll_registers(vals.slice(7000))
+    assert np.array_equal(hll_merge([a, b]), regs)
+    # distributed path over the driver table
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/events.parquet",
+                               columns=["user_id"])
+    approx, err = approx_distinct(ds, "user_id")
+    exact = len(ds.unique("user_id"))
+    assert abs(approx - exact) / exact <= 3 * err + 0.02
