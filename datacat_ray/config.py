@@ -29,6 +29,11 @@ class PipelineConfig:
     # guard rails (reference token/block caps, SURVEY.md M3/M4)
     max_tokens: int = 30_000
     max_blocks: int = 3_000
+    # page-range limit (SURVEY.md O4; reference: DocumentSource.fromPdf
+    # start/end page args, DatacatBodySegmentationParser.java:71-73).
+    # -1 = unbounded, matching the reference convention.
+    start_page: int = -1
+    end_page: int = -1
     # stage knobs
     dom: StageConfig = field(default_factory=lambda: StageConfig(batch_size=128))
     tokenize: StageConfig = field(default_factory=lambda: StageConfig(batch_size=128))

@@ -106,12 +106,20 @@ class FusedExtractStage:
     ``DatacatSegmenterParser.java:83-85``,
     ``DatacatBodySegmentationParser.java:63-67``)."""
 
-    def __init__(self, max_tokens: int = 30_000, max_blocks: int = 3_000) -> None:
+    def __init__(
+        self,
+        max_tokens: int = 30_000,
+        max_blocks: int = 3_000,
+        start_page: int = -1,
+        end_page: int = -1,
+    ) -> None:
         self.seg = CRFDecoder(SEGMENTER_MODEL)
         self.body = CRFDecoder(BODY_MODEL)
         self.lexical = CRFDecoder(LEXICAL_MODEL)
         self.max_tokens = max_tokens
         self.max_blocks = max_blocks
+        self.start_page = start_page
+        self.end_page = end_page
 
     def _lexical_spans(self, tokens: list[str], entries: list[dict]) -> list[dict]:
         """Third cascade level: label the tokens of each ``<entry>`` run
@@ -136,6 +144,12 @@ class FusedExtractStage:
             blocks = blocks_from_plain_text(text)
         else:
             blocks = []
+        if self.start_page >= 0 or self.end_page >= 0:
+            # O4 page-range limit (row-local slice on the pseudo-page ids;
+            # reference start/end-page semantics, fromPdf args)
+            lo = self.start_page if self.start_page >= 0 else 0
+            hi = self.end_page if self.end_page >= 0 else float("inf")
+            blocks = [b for b in blocks if lo <= b["page"] <= hi]
         if len(blocks) > self.max_blocks:
             return "", "", "", "", [], [], [], 0, 0, f"TOO_MANY_BLOCKS: {len(blocks)}"
         lines, tokens, token_line = tokenize_document(blocks)
@@ -279,7 +293,13 @@ class BodyStage:
 _TASK_STAGE_CACHE: dict[tuple, "FusedExtractStage"] = {}
 
 
-def _fused_task(batch: pa.Table, max_tokens: int, max_blocks: int) -> pa.Table:
+def _fused_task(
+    batch: pa.Table,
+    max_tokens: int,
+    max_blocks: int,
+    start_page: int = -1,
+    end_page: int = -1,
+) -> pa.Table:
     """Task-mode wrapper around ``FusedExtractStage`` with a per-WORKER-
     PROCESS stage cache: the decoders compile once per worker (Ray reuses
     worker processes across tasks), after which every task runs warm.
@@ -291,11 +311,13 @@ def _fused_task(batch: pa.Table, max_tokens: int, max_blocks: int) -> pa.Table:
     (``execution="actors"``) is the right choice only when per-actor state
     is expensive — multi-GB model weights, a remote connection — which is
     exactly what ``FusedExtractStage.__init__`` models."""
-    key = (max_tokens, max_blocks)
+    key = (max_tokens, max_blocks, start_page, end_page)
     st = _TASK_STAGE_CACHE.get(key)
     if st is None:
         _TASK_STAGE_CACHE.clear()
-        st = _TASK_STAGE_CACHE[key] = FusedExtractStage(max_tokens, max_blocks)
+        st = _TASK_STAGE_CACHE[key] = FusedExtractStage(
+            max_tokens, max_blocks, start_page, end_page
+        )
     return st(batch)
 
 
@@ -319,7 +341,8 @@ def build_extract_pipeline(
         return ds.map_batches(
             FusedExtractStage,
             fn_constructor_kwargs={
-                "max_tokens": cfg.max_tokens, "max_blocks": cfg.max_blocks
+                "max_tokens": cfg.max_tokens, "max_blocks": cfg.max_blocks,
+                "start_page": cfg.start_page, "end_page": cfg.end_page,
             },
             batch_format="pyarrow",
             batch_size=cfg.segmenter.batch_size,
@@ -330,7 +353,8 @@ def build_extract_pipeline(
 
     return ds.map_batches(
         functools.partial(
-            _fused_task, max_tokens=cfg.max_tokens, max_blocks=cfg.max_blocks
+            _fused_task, max_tokens=cfg.max_tokens, max_blocks=cfg.max_blocks,
+            start_page=cfg.start_page, end_page=cfg.end_page,
         ),
         batch_format="pyarrow",
         batch_size=cfg.segmenter.batch_size,

@@ -88,3 +88,16 @@ def test_determinism_across_parallelism(pages_dir, result_rows):
         assert a["tei_body"] == b["tei_body"]
         assert a["zones"] == b["zones"]
         assert a["entries"] == b["entries"]
+
+
+def test_page_range_limit(pages_dir):
+    """O4: start/end-page slice (reference fromPdf start/end args). Page 0
+    only → fewer tokens than the unbounded run, never more."""
+    full = _run(pages_dir)
+    limited = _run(pages_dir, PipelineConfig(start_page=0, end_page=0))
+    by_url = {r["url"]: r for r in full}
+    for r in limited:
+        f = by_url[r["url"]]
+        assert r["n_tokens"] <= f["n_tokens"]
+        if f["n_lines"] > 40:  # doc spans multiple pseudo-pages (40 lines/page)
+            assert r["n_lines"] <= 40
