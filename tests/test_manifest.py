@@ -80,3 +80,17 @@ def test_two_runs_identical(ray_session, tmp_path, pages_dir):
     assert {k: v["output_sha256_16"] for k, v in a.items()} == {
         k: v["output_sha256_16"] for k, v in b.items()
     }
+
+
+def test_fragments_per_part_grouping(ray_session, tmp_path, pages_dir):
+    """Grouping 2 fragments per partition halves the partition count and
+    produces the same row set."""
+    import math
+
+    from datacat_ray.state.manifest import list_fragments
+
+    n_frags = len(list_fragments(pages_dir))
+    out = str(tmp_path / "grouped")
+    s = run_extract_job(pages_dir, out, fragments_per_part=2)
+    assert s["partitions_total"] == math.ceil(n_frags / 2) < n_frags
+    assert len(_read_all(out)) == 60
