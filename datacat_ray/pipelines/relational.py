@@ -68,14 +68,29 @@ def pricing_summary(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    ds = ds.map_batches(_prep, batch_format="pyarrow")
+    def _prep_partial(t: pa.Table) -> pa.Table:
+        # map-side combiner (SURVEY.md §4): fused with the filter/projection
+        # so no extra stage boundary; pyarrow's C++ group_by collapses each
+        # batch to ≤6 partial rows — the shuffle exchanges group partials,
+        # not 600k fact rows
+        return _prep(t).group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ("revenue", "sum"), ([], "count_all")]
+        )
+
+    ds = ds.map_batches(_prep_partial, batch_format="pyarrow")
     out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("l_extendedprice", alias_name="sum_base_price_cents"),
-        Sum("revenue", alias_name="sum_revenue_cents"),
-        Mean("l_quantity", alias_name="avg_qty_micros"),
-        Count(alias_name="count_order"),
+        Sum("l_quantity_sum", alias_name="sum_qty"),
+        Sum("l_extendedprice_sum", alias_name="sum_base_price_cents"),
+        Sum("revenue_sum", alias_name="sum_revenue_cents"),
+        Sum("count_all", alias_name="count_order"),
     )
+
+    def _finish(t: pa.Table) -> pa.Table:
+        avg = pc.divide(t["sum_qty"], pc.cast(t["count_order"], pa.float64()))
+        return t.append_column("avg_qty_micros", avg)
+
+    out = out.map_batches(_finish, batch_format="pyarrow")
     return scale_to_int64(
         out,
         {"sum_qty": 1, "sum_base_price_cents": 100, "sum_revenue_cents": 100,
@@ -145,12 +160,19 @@ def events_per_user_day(sf_dir: str) -> "ray.data.Dataset":
             {"user_id": t["user_id"], "day": day, "value": t["value"]}
         )
 
-    ds = ds.map_batches(_day, batch_format="pyarrow")
+    def _day_partial(t: pa.Table) -> pa.Table:
+        # map-side combiner fused with the day projection
+        return _day(t).group_by(["user_id", "day"]).aggregate(
+            [("value", "sum"), ("value", "min"), ("value", "max"),
+             ([], "count_all")]
+        )
+
+    ds = ds.map_batches(_day_partial, batch_format="pyarrow")
     out = ds.groupby(["user_id", "day"]).aggregate(
-        Count(alias_name="n_events"),
-        Sum("value", alias_name="sum_value_micros"),
-        Min("value", alias_name="min_value"),
-        Max("value", alias_name="max_value"),
+        Sum("count_all", alias_name="n_events"),
+        Sum("value_sum", alias_name="sum_value_micros"),
+        Min("value_min", alias_name="min_value"),
+        Max("value_max", alias_name="max_value"),
     )
     return scale_to_int64(out, {"sum_value_micros": 1_000_000})
 
@@ -313,12 +335,19 @@ def revenue_by_region_nation(sf_dir: str) -> "ray.data.Dataset":
         )
         return out.filter(pc.is_valid(out["r_name"]))
 
+    def _join_partial(t: pa.Table) -> pa.Table:
+        return _join(t).group_by(["r_name", "n_name"]).aggregate(
+            [("revenue", "sum"), ([], "count_all")]
+        )
+
     ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
-    out = ds.map_batches(_join, batch_format="pyarrow").groupby(
-        ["r_name", "n_name"]
-    ).aggregate(
-        Sum("revenue", alias_name="revenue_cents"),
-        Count(alias_name="n_items"),
+    out = (
+        ds.map_batches(_join_partial, batch_format="pyarrow")
+        .groupby(["r_name", "n_name"])
+        .aggregate(
+            Sum("revenue_sum", alias_name="revenue_cents"),
+            Sum("count_all", alias_name="n_items"),
+        )
     )
     return scale_to_int64(out, {"revenue_cents": 100})
 
