@@ -59,10 +59,14 @@ from datacat_ray.pipelines.similarity import (
     multi_query_topk,
 )
 from datacat_ray.pipelines.text_analysis import (
+    CORPUS_FILTER_SQL,
+    REDACT_PII_SQL,
     TOP_TERMS_SQL,
+    corpus_filter,
     fingerprint,
     lang_id,
     quality_score,
+    redact_pii,
     text_stats,
     token_count,
     top_terms,
@@ -192,6 +196,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "token_count": token_count,
         "text_stats": text_stats,
         "top_terms": lambda sf: top_terms(sf, k=20),
+        "corpus_filter": corpus_filter,
+        "redact_pii": redact_pii,
         "lang_id": lang_id,
         "quality_score": quality_score,
         "fingerprint": fingerprint,
@@ -313,6 +319,8 @@ def build_oracle_sql() -> dict[str, str]:
         "train_eval_split": train_eval_split_sql(),
         "quality_band_eval": QUALITY_BAND_EVAL_SQL,
         "top_terms": TOP_TERMS_SQL,
+        "corpus_filter": CORPUS_FILTER_SQL,
+        "redact_pii": REDACT_PII_SQL,
         # no oracle (non-SQL-expressible; driver records rows-only):
         #   extract_flagship (cascade), minhash/simhash/ngram/embedding pairs
         #   (LSH banding), knn_ivf (approximate), lang_id / quality_score /

@@ -238,6 +238,94 @@ def quality_score(sf_dir: str) -> "ray.data.Dataset":
 
 
 # ---------------------------------------------------------------------------
+# corpus filter (composed quality gates — the training-data selection shape)
+# ---------------------------------------------------------------------------
+
+FILTER_MIN_TOKENS = 30
+FILTER_MAX_TOKENS = 500
+FILTER_MIN_CHARS = 150
+
+
+def corpus_filter(sf_dir: str) -> "ray.data.Dataset":
+    """Surviving doc_ids after chained quality gates (token-count band +
+    char floor) — the canonical corpus-selection pipeline: every gate is a
+    vectorized predicate inside ONE map_batches pass; no shuffle, no
+    intermediate materialization. Gates here are SQL-expressible so the
+    whole composition is oracle-checked."""
+    ds = _read_documents(sf_dir, ["doc_id", "text", "n_chars"])
+
+    def _gates(t: pa.Table) -> pa.Table:
+        toks = pa.array([len(x.split()) if x else 0 for x in t["text"].to_pylist()],
+                        type=pa.int64())
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(toks, pa.scalar(FILTER_MIN_TOKENS, pa.int64())),
+                pc.less_equal(toks, pa.scalar(FILTER_MAX_TOKENS, pa.int64())),
+            ),
+            pc.greater_equal(t["n_chars"], pa.scalar(FILTER_MIN_CHARS, pa.int64())),
+        )
+        return pa.Table.from_pydict({"doc_id": t["doc_id"]}).filter(keep)
+
+    return ds.map_batches(_gates, batch_format="pyarrow")
+
+
+CORPUS_FILTER_SQL = f"""
+    SELECT doc_id FROM documents
+    WHERE len(regexp_split_to_array(trim(text), '\\s+'))
+              BETWEEN {FILTER_MIN_TOKENS} AND {FILTER_MAX_TOKENS}
+      AND n_chars >= {FILTER_MIN_CHARS}
+      AND text IS NOT NULL AND trim(text) <> ''
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data hygiene)
+# ---------------------------------------------------------------------------
+
+# intentionally simple, RE2-compatible patterns so the DuckDB oracle can run
+# the IDENTICAL regex (no lookbehind/lookahead)
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?[0-9][0-9().\- ]{7,}[0-9]"
+
+_EMAIL_RE = re.compile(PII_EMAIL)
+_PHONE_RE = re.compile(PII_PHONE)
+
+
+def redact_pii_text(text: str) -> str:
+    t = _EMAIL_RE.sub("<EMAIL>", text or "")
+    return _PHONE_RE.sub("<PHONE>", t)
+
+
+def redact_pii(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, redacted): emails/phones replaced with placeholder tokens —
+    compiled-regex scalar kernel, embarrassingly parallel. The oracle runs
+    the identical RE2 pattern via regexp_replace."""
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def _redact(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "redacted": pa.array(
+                    [redact_pii_text(x) for x in t["text"].to_pylist()],
+                    type=pa.string(),
+                ),
+            }
+        )
+
+    return ds.map_batches(_redact, batch_format="pyarrow")
+
+
+REDACT_PII_SQL = f"""
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+               '{PII_PHONE.replace("'", "''")}', '<PHONE>', 'g') AS redacted
+    FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # document fingerprint (rolling hash)
 # ---------------------------------------------------------------------------
 

@@ -85,3 +85,31 @@ def test_tokenize_layout_shapes():
 def test_tokenize_whitespace():
     assert tk.tokenize_whitespace("  a \t b ") == ["a", "b"]
     assert tk.tokenize_whitespace("") == []
+
+
+def test_redact_pii_kernel():
+    from datacat_ray.pipelines.text_analysis import redact_pii_text
+
+    assert redact_pii_text("mail a.b+c@ex-ample.org now") == "mail <EMAIL> now"
+    assert redact_pii_text("call +1 (415) 555-0123 today") == "call <PHONE> today"
+    assert redact_pii_text("year 2024 alone stays") == "year 2024 alone stays"
+    assert redact_pii_text("") == "" and redact_pii_text(None) == ""
+
+
+def test_corpus_filter_gates(ray_session):
+    import pyarrow.parquet as pq
+
+    from datacat_ray.pipelines.text_analysis import (
+        FILTER_MAX_TOKENS,
+        FILTER_MIN_CHARS,
+        FILTER_MIN_TOKENS,
+        corpus_filter,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    kept = set(corpus_filter(sf).to_pandas()["doc_id"])
+    docs = pq.read_table(f"{sf}/documents.parquet").to_pylist()
+    for d in docs:
+        ok = (FILTER_MIN_TOKENS <= len(d["text"].split()) <= FILTER_MAX_TOKENS
+              and d["n_chars"] >= FILTER_MIN_CHARS)
+        assert (d["doc_id"] in kept) == ok
