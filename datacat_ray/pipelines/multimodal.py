@@ -185,6 +185,97 @@ class AudioFrameSampler:
         )
 
 
+# ---------------------------------------------------------------------------
+# video: opaque binary + typed metadata, frame-sample plan
+# ---------------------------------------------------------------------------
+
+_VIDEO_MAGIC = b"DCRV"
+_VIDEO_HEADER = struct.Struct("<4sIIHH")  # magic, n_frames, w, h, fps
+
+
+def make_fake_video(seed: int) -> bytes:
+    rng = np.random.RandomState((seed * 53 + 11) & 0x7FFFFFFF)
+    fps = int(rng.choice([24, 25, 30]))
+    n_frames = int(rng.randint(fps, fps * 120))  # 1-120 s
+    w, h = int(rng.choice([640, 1280])), int(rng.choice([360, 720]))
+    return _VIDEO_HEADER.pack(_VIDEO_MAGIC, n_frames, w, h, fps) + rng.bytes(
+        min(n_frames, 4096)
+    )
+
+
+class VideoFrameSampler:
+    """Actor-pool stage: parse video headers, plan a deterministic
+    every-``sample_sec`` frame grid. ``decode_frame`` is the STUB seam (no
+    video codec in this environment); the Ray plumbing — per-actor init,
+    small batches for wide binary rows, nested output — is real."""
+
+    def __init__(self, sample_sec: float = 2.0) -> None:
+        self.sample_sec = sample_sec  # real decoder init goes here
+
+    @staticmethod
+    def decode_frame(payload: bytes, frame_idx: int) -> "np.ndarray":
+        """STUB: frame decode requires a video library (ffmpeg/decord)."""
+        raise NotImplementedError(
+            "video decode requires a video library — not available here"
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {"doc_id": [], "width": [], "height": [], "fps": [],
+                "n_frames": [], "sampled_frames": [], "valid": []}
+        for doc_id, p in zip(batch["doc_id"].to_pylist(),
+                             batch["video"].to_pylist()):
+            rows["doc_id"].append(doc_id)
+            if p and len(p) >= _VIDEO_HEADER.size and p[:4] == _VIDEO_MAGIC:
+                _, n, w, h, fps = _VIDEO_HEADER.unpack_from(p)
+                step = max(1, int(self.sample_sec * fps))
+                sampled = list(range(0, n, step))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["fps"].append(fps)
+                rows["n_frames"].append(n)
+                rows["sampled_frames"].append(sampled)
+                rows["valid"].append(True)
+            else:
+                rows["width"].append(0)
+                rows["height"].append(0)
+                rows["fps"].append(0)
+                rows["n_frames"].append(0)
+                rows["sampled_frames"].append([])
+                rows["valid"].append(False)
+        return pa.Table.from_pydict(
+            rows,
+            schema=pa.schema(
+                [("doc_id", pa.int64()), ("width", pa.int32()),
+                 ("height", pa.int32()), ("fps", pa.int32()),
+                 ("n_frames", pa.int32()),
+                 ("sampled_frames", pa.list_(pa.int32())),
+                 ("valid", pa.bool_())]
+            ),
+        )
+
+
+def video_frames(sf_dir: str, sample_sec: float = 2.0) -> "ray.data.Dataset":
+    """Video multimodal pipeline: synth binary column → frame-sampling
+    actor pool."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def _mk(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.Table.from_pydict(
+            {"doc_id": batch["doc_id"],
+             "video": pa.array([make_fake_video(i) for i in ids], type=pa.binary())}
+        )
+
+    return ds.map_batches(_mk, batch_format="pyarrow").map_batches(
+        VideoFrameSampler,
+        fn_constructor_kwargs={"sample_sec": sample_sec},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+
 def audio_frames(sf_dir: str, frame_sec: float = 1.0) -> "ray.data.Dataset":
     """Audio multimodal pipeline: synth binary column → frame-sampling
     actor pool (small batches — wide binary rows)."""

@@ -35,7 +35,7 @@ from datacat_ray.pipelines.dedup_ops import (
 )
 from datacat_ray.pipelines.extract import build_extract_pipeline
 from datacat_ray.pipelines.multimodal import image_metadata
-from datacat_ray.pipelines.multimodal import audio_frames
+from datacat_ray.pipelines.multimodal import audio_frames, video_frames
 from datacat_ray.pipelines.relational import (
     ASOF_PURCHASE_SQL,
     REVENUE_BY_REGION_NATION_SQL,
@@ -207,6 +207,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing
         "image_metadata": image_metadata,
         "audio_frames": audio_frames,
+        "video_frames": video_frames,
     }
 
 

@@ -92,3 +92,29 @@ def test_empty_doc():
     assert featurize_lines([]) == []
     feats, idx = featurize_body_tokens([], [], [], [])
     assert feats == [] and idx == []
+
+
+def test_serialized_arity_matches_reference_raw_format():
+    """Our serialized feature lines have the same field arity as the
+    reference's committed raw corpus files (33 segmenter / 24 body cols)."""
+    import os
+
+    import pytest
+
+    from datacat_ray.stages.line_features import LINE_FEATURE_STRUCT
+    from datacat_ray.stages.token_features import TOKEN_FEATURE_STRUCT
+
+    assert len(LINE_FEATURE_STRUCT) == 33
+    assert len(TOKEN_FEATURE_STRUCT) == 24
+
+    seg_dir = "/root/reference/resources/dataset/datacat-segmenter/corpus/raw"
+    if not os.path.isdir(seg_dir):
+        pytest.skip("reference checkout not present")
+    f = sorted(os.listdir(seg_dir))[0]
+    with open(os.path.join(seg_dir, f), encoding="utf-8", errors="replace") as fh:
+        for line in fh:
+            line = line.strip()
+            if line:
+                # training raw lines are 33 feature cols (+1 label in some files)
+                assert len(line.split(" ")) in (33, 34)
+                break

@@ -59,3 +59,27 @@ def test_pipelines_over_driver_testdata(ray_session):
     aud = audio_frames("/root/testdata/sf0.001")
     t = aud.take(5)
     assert all(r["valid"] for r in t)
+
+
+def test_video_frame_sampling(ray_session):
+    import pyarrow as pa
+
+    from datacat_ray.pipelines.multimodal import (
+        VideoFrameSampler,
+        make_fake_video,
+        video_frames,
+    )
+
+    batch = pa.table({"doc_id": [1, 2],
+                      "video": pa.array([make_fake_video(1), b"x"], pa.binary())})
+    out = VideoFrameSampler(sample_sec=2.0)(batch).to_pylist()
+    good, bad = out
+    assert good["valid"] and not bad["valid"]
+    step = 2 * good["fps"]
+    fr = good["sampled_frames"]
+    assert fr[0] == 0 and all(b - a == step for a, b in zip(fr, fr[1:]))
+    assert fr[-1] < good["n_frames"]
+    import pytest
+    with pytest.raises(NotImplementedError):
+        VideoFrameSampler.decode_frame(make_fake_video(0), 0)
+    assert video_frames("/root/testdata/sf0.001").count() == 500
