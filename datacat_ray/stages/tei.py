@@ -125,6 +125,61 @@ def parse_segmenter_tei(tei: str) -> list[tuple[str, str]]:
     return out
 
 
+_REF_ZONE_RE = None
+_REF_ENTRY_RE = None
+
+
+def parse_reference_tei(text: str) -> list[tuple[str, str]]:
+    """Parse a REFERENCE-corpus segmenter TEI training file (the actual
+    committed format under ``resources/dataset/datacat-segmenter/corpus/
+    tei/`` — zones at line start, lines separated by `` <lb/>``, XML
+    entities escaped) into ``(line_text, label)`` pairs — the engine
+    analogue of ``TEIDatacatSegmenterSaxParser.java:23-189`` run against
+    the reference's own corpus."""
+    global _REF_ZONE_RE
+    if _REF_ZONE_RE is None:
+        import re
+
+        _REF_ZONE_RE = re.compile(
+            r"<(front|body|back|annex|other|header|footnote)>(.*?)</\1>", re.S
+        )
+    from html import unescape
+
+    body = text.split("<text", 1)[-1]
+    out: list[tuple[str, str]] = []
+    for m in _REF_ZONE_RE.finditer(body):
+        label = f"<{m.group(1)}>"
+        for piece in m.group(2).split("<lb/>"):
+            line = unescape(piece).strip()
+            if line:
+                out.append((line, label))
+    return out
+
+
+def parse_reference_body_tei(text: str) -> list[tuple[str, str]]:
+    """Parse a REFERENCE-corpus body-segmentation TEI file
+    (``resources/dataset/datacat-body-segmentation/corpus/tei/``) into
+    ``(label, element_text)`` pairs (``TEIDatacatBodySegmentationSaxParser
+    .java:12-148`` analogue)."""
+    global _REF_ENTRY_RE
+    if _REF_ENTRY_RE is None:
+        import re
+
+        _REF_ENTRY_RE = re.compile(
+            r"<(entry|title|titledesc|other|note)(?:\s[^>]*)?>(.*?)</\1>", re.S
+        )
+    from html import unescape
+
+    body = text.split("<text", 1)[-1]
+    out: list[tuple[str, str]] = []
+    for m in _REF_ENTRY_RE.finditer(body):
+        label = f"<{m.group(1)}>"
+        content = unescape(m.group(2)).replace("<lb/>", "\n").strip()
+        if content:
+            out.append((label, content))
+    return out
+
+
 def assemble_body_tei(
     url: str,
     lang: str | None,

@@ -91,3 +91,90 @@ def test_tei_roundtrip():
         ("12. Monnaies", "<body>"), ("13. Médailles", "<body>"),
         ("TABLE", "<back>"),
     ]
+
+
+def test_parse_reference_corpus_files():
+    """The engine ingests the reference's OWN committed TEI training corpus
+    (418+ segmenter files, 14+ body files) — the S6 source surface proven
+    against real data, not just our own assembler output."""
+    import os
+
+    import pytest
+
+    from datacat_ray.stages.tei import parse_reference_body_tei, parse_reference_tei
+
+    seg_dir = "/root/reference/resources/dataset/datacat-segmenter/corpus/tei"
+    if not os.path.isdir(seg_dir):
+        pytest.skip("reference checkout not present")
+    files = sorted(os.listdir(seg_dir))
+    assert len(files) >= 400
+    total_lines = 0
+    parsed_files = 0
+    known = {"<front>", "<body>", "<back>", "<annex>", "<other>",
+             "<header>", "<footnote>"}
+    for f in files:
+        pairs = parse_reference_tei(
+            open(os.path.join(seg_dir, f), encoding="utf-8", errors="replace").read()
+        )
+        if pairs:
+            parsed_files += 1
+            total_lines += len(pairs)
+            assert {lb for _, lb in pairs} <= known
+    assert parsed_files / len(files) > 0.95
+    assert total_lines > 50_000  # the corpus is ~hundreds of lines per doc
+
+    body_dir = "/root/reference/resources/dataset/datacat-body-segmentation/corpus/tei"
+    bfiles = sorted(os.listdir(body_dir))
+    assert len(bfiles) >= 10
+    ok = 0
+    for f in bfiles:
+        pairs = parse_reference_body_tei(
+            open(os.path.join(body_dir, f), encoding="utf-8", errors="replace").read()
+        )
+        if pairs and all(lb in {"<entry>", "<title>", "<titledesc>", "<other>",
+                                "<note>"} for lb, _ in pairs):
+            ok += 1
+    assert ok / len(bfiles) > 0.9
+
+
+def test_alignment_on_reference_corpus():
+    """J1 run on the REAL reference corpus: raw feature-file line tokens
+    align against TEI-derived labels for every sampled document pair (the
+    trainer's correctness contract, DatacatSegmenterTrainer.java:150-215,
+    validated on the reference's own data)."""
+    import os
+
+    import pytest
+
+    from datacat_ray.stages.tei import parse_reference_tei
+
+    base = "/root/reference/resources/dataset/datacat-segmenter/corpus"
+    if not os.path.isdir(base):
+        pytest.skip("reference checkout not present")
+    raws = set(os.listdir(f"{base}/raw"))
+    teis = sorted(os.listdir(f"{base}/tei"))
+    sampled = aligned = 0
+    for t in teis[::12]:  # every 12th file ≈ 35 docs
+        stem = t.replace(".training.datacat.tei.xml", "")
+        cand = [r for r in raws if r.startswith(stem)]
+        if not cand:
+            continue
+        tei_pairs = parse_reference_tei(
+            open(f"{base}/tei/{t}", encoding="utf-8", errors="replace").read()
+        )
+        labeled = [(line.split(" ")[0], lb) for line, lb in tei_pairs]
+        feat_tokens = [
+            ln.strip().split(" ")[0]
+            for ln in open(f"{base}/raw/{cand[0]}", encoding="utf-8",
+                           errors="replace")
+            if ln.strip()
+        ]
+        res = align_labels(feat_tokens, labeled)
+        sampled += 1
+        if res is not None:
+            aligned += 1
+    # the reference trainer itself drops desynchronized documents (the
+    # >=10-invalids rule) — a small drop rate on real data is the expected
+    # behavior, not a failure
+    assert sampled >= 30
+    assert aligned / sampled >= 0.9
