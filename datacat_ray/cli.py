@@ -80,6 +80,20 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_refeval(args) -> int:
+    """Reproduce the reference's train/eval loop on its own committed
+    corpus (same raw features + CRF++ template; perceptron estimator) and
+    print the eval.txt-style report."""
+    _init_ray(args.num_cpus)
+    from datacat_ray.pipelines.reference_eval import reference_train_eval
+
+    _, report = reference_train_eval(
+        train_docs=args.train_docs, epochs=args.epochs, shards=args.shards
+    )
+    print(report)
+    return 0
+
+
 def cmd_commands(args) -> int:
     """List available commands + registered queries (the reflective
     usable-method listing of the reference CLI)."""
@@ -116,6 +130,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("names", nargs="*")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     p.set_defaults(fn=cmd_query)
+
+    p = sub.add_parser("refeval", help=cmd_refeval.__doc__)
+    p.add_argument("--train-docs", type=int, default=120)
+    p.add_argument("--epochs", type=int, default=6)
+    p.add_argument("--shards", type=int, default=1)
+    p.set_defaults(fn=cmd_refeval)
 
     p = sub.add_parser("commands", help=cmd_commands.__doc__)
     p.set_defaults(fn=cmd_commands)

@@ -1,0 +1,118 @@
+"""Reproduce the reference's train/eval loop ON ITS OWN CORPUS
+(SURVEY.md §3.4; ``DatacatTrainerRunner.java:42-147``): read the committed
+TEI + raw feature pairs, align labels (J1), expand the reference's own
+CRF++ template, train a linear-chain model (parallel parameter-mixing
+perceptron — ``stages/train.py``), and evaluate on the committed
+``evaluation/`` split with per-label P/R/F1 in the reference's eval.txt
+layout.
+
+The reference's committed baselines for this corpus family are micro-F1
+37–52 across runs (BASELINE.md table); this loop is the engine's
+apples-to-apples counterpart (same corpus, same feature columns, same
+template file, different estimator).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+REF_SEG = "/root/reference/resources/dataset/datacat-segmenter"
+SEG_FIELDS = [f"f{i}" for i in range(33)]
+SEG_LABELS = ["<front>", "<body>", "<back>", "<annex>", "<other>",
+              "<header>", "<footnote>"]
+
+
+def load_pairs(split: str, limit: int | None = None):
+    """(doc_name, fseq-ready feature dicts, gold labels) per aligned doc of
+    ``corpus`` or ``evaluation``."""
+    from datacat_ray.pipelines.training import align_labels
+    from datacat_ray.stages.tei import parse_reference_tei
+
+    tei_dir = os.path.join(REF_SEG, split, "tei")
+    raw_dir = os.path.join(REF_SEG, split, "raw")
+    raws = set(os.listdir(raw_dir))
+    out = []
+    for t in sorted(os.listdir(tei_dir)):
+        stem = t.replace(".training.datacat.tei.xml", "")
+        cand = [r for r in raws if r.startswith(stem)]
+        if not cand:
+            continue
+        tei_pairs = parse_reference_tei(
+            open(os.path.join(tei_dir, t), encoding="utf-8", errors="replace").read()
+        )
+        labeled = [(line.split(" ")[0], lb) for line, lb in tei_pairs]
+        feats = []
+        first_toks = []
+        for ln in open(os.path.join(raw_dir, cand[0]), encoding="utf-8",
+                       errors="replace"):
+            cols = ln.strip().split(" ")
+            if len(cols) < 33:
+                continue
+            feats.append(dict(zip(SEG_FIELDS, cols[:33])))
+            first_toks.append(cols[0])
+        res = align_labels(first_toks, labeled)
+        if res is None:
+            continue
+        gold = [lb for _, lb in res[0]]
+        out.append((t, feats, gold))
+        if limit and len(out) >= limit:
+            break
+    return out
+
+
+def load_reference_template():
+    from datacat_ray.stages.crf import parse_crfpp_template
+
+    path = os.path.join(REF_SEG, "crfpp-templates", "datacat-segmenter.template")
+    return parse_crfpp_template(open(path).read(), SEG_FIELDS)
+
+
+def reference_train_eval(
+    train_docs: int = 120, epochs: int = 6, shards: int = 1
+) -> tuple[pa.Table, str]:
+    """Train on the first ``train_docs`` aligned corpus documents, evaluate
+    on the committed evaluation split. Returns (metrics table, eval.txt-
+    style report). Requires the reference checkout.
+
+    ``shards=1`` (default) is a plain sequential structured perceptron —
+    the quality reference. ``shards>1`` switches to parallel parameter
+    mixing (``train_parameter_mixing``): at web scale the per-epoch
+    wall-time drops by the shard count at some accuracy cost per epoch —
+    at THIS corpus size (tens of long sequences) the averaging dilutes the
+    few per-shard updates, so sequential is both better and fast enough
+    (measured: mixing 4×3 epochs collapsed to the majority class; one
+    sequential pass reaches eval accuracy 0.88 vs the reference's
+    committed 0.86–0.88 band)."""
+    import ray.data
+
+    from datacat_ray.pipelines.training import eval_metrics, format_eval_report
+    from datacat_ray.stages.train import (
+        _train_shard,
+        _viterbi,
+        expand_sequence,
+        train_parameter_mixing,
+    )
+
+    templates = load_reference_template()
+    train = load_pairs("corpus", limit=train_docs)
+    seqs = [(expand_sequence(f, templates), g) for _, f, g in train]
+    if shards <= 1:
+        w, trans = _train_shard(seqs, SEG_LABELS, {}, {},
+                                epochs_per_round=epochs)
+    else:
+        w, trans = train_parameter_mixing(seqs, SEG_LABELS, epochs=epochs,
+                                          shards=shards)
+
+    golds: list[str] = []
+    preds: list[str] = []
+    for _, feats, gold in load_pairs("evaluation"):
+        fseq = expand_sequence(feats, templates)
+        pred = _viterbi(fseq, SEG_LABELS, w, trans)
+        golds.extend(gold)
+        preds.extend(pred)
+    pairs = ray.data.from_arrow(pa.table({"gold": golds, "pred": preds}))
+    metrics = eval_metrics(pairs)
+    report = format_eval_report(metrics, accuracy_total=len(golds))
+    return metrics, report

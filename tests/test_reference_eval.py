@@ -1,0 +1,57 @@
+"""Train/eval reproduction on the reference's own corpus (SURVEY.md §3.4).
+
+Small config for test runtime; the full run (120 docs, 4 epochs) reaches
+micro F1 95.3 vs the reference's committed 37–52 band — see BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+REF = "/root/reference/resources/dataset/datacat-segmenter"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference checkout absent")
+def test_perceptron_fits_reference_documents(ray_session):
+    """Fit check on a handful of real corpus documents: the trained model
+    must reproduce >=90% of its own training labels (cross-family
+    GENERALIZATION needs ~100+ train docs — that full run reaches micro
+    F1 95.3 on the committed evaluation split, recorded in BASELINE.md;
+    too slow for the suite)."""
+    from datacat_ray.pipelines.reference_eval import (
+        SEG_LABELS,
+        load_pairs,
+        load_reference_template,
+    )
+    from datacat_ray.stages.train import _train_shard, _viterbi, expand_sequence
+
+    templates = load_reference_template()
+    train = load_pairs("corpus", limit=8)
+    seqs = [(expand_sequence(f, templates), g) for _, f, g in train]
+    w, trans = _train_shard(seqs, SEG_LABELS, {}, {}, epochs_per_round=3)
+    tp = tot = 0
+    for fseq, gold in seqs:
+        pred = _viterbi(fseq, SEG_LABELS, w, trans)
+        tp += sum(1 for a, b in zip(gold, pred) if a == b)
+        tot += len(gold)
+    assert tp / tot >= 0.9
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference checkout absent")
+def test_parameter_mixing_runs(ray_session):
+    """The parallel path trains and decodes without error (quality at this
+    tiny scale is not asserted — see reference_train_eval docstring)."""
+    from datacat_ray.pipelines.reference_eval import (
+        SEG_LABELS,
+        load_pairs,
+        load_reference_template,
+    )
+    from datacat_ray.stages.train import expand_sequence, train_parameter_mixing
+
+    templates = load_reference_template()
+    train = load_pairs("corpus", limit=6)
+    seqs = [(expand_sequence(f, templates), g) for _, f, g in train]
+    w, trans = train_parameter_mixing(seqs, SEG_LABELS, epochs=2, shards=3)
+    assert w and trans
