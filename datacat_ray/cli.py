@@ -85,11 +85,17 @@ def cmd_refeval(args) -> int:
     corpus (same raw features + CRF++ template; perceptron estimator) and
     print the eval.txt-style report."""
     _init_ray(args.num_cpus)
-    from datacat_ray.pipelines.reference_eval import reference_train_eval
-
-    _, report = reference_train_eval(
-        train_docs=args.train_docs, epochs=args.epochs, shards=args.shards
+    from datacat_ray.pipelines.reference_eval import (
+        reference_body_train_eval,
+        reference_train_eval,
     )
+
+    if args.model == "body":
+        _, report = reference_body_train_eval(epochs=args.epochs)
+    else:
+        _, report = reference_train_eval(
+            train_docs=args.train_docs, epochs=args.epochs, shards=args.shards
+        )
     print(report)
     return 0
 
@@ -132,6 +138,7 @@ def main(argv: list[str] | None = None) -> int:
     p.set_defaults(fn=cmd_query)
 
     p = sub.add_parser("refeval", help=cmd_refeval.__doc__)
+    p.add_argument("--model", choices=["segmenter", "body"], default="segmenter")
     p.add_argument("--train-docs", type=int, default=120)
     p.add_argument("--epochs", type=int, default=6)
     p.add_argument("--shards", type=int, default=1)

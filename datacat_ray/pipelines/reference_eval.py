@@ -69,6 +69,87 @@ def load_reference_template():
     return parse_crfpp_template(open(path).read(), SEG_FIELDS)
 
 
+REF_BODY = "/root/reference/resources/dataset/datacat-body-segmentation"
+BODY_FIELDS = [f"f{i}" for i in range(24)]
+BODY_LABELS = ["<entry>", "<title>", "<titledesc>", "<other>"]
+
+
+def load_body_pairs(split: str, limit: int | None = None):
+    """Token-level (doc, feature dicts, gold labels) for the body model:
+    TEI elements tokenized with the engine tokenizer, aligned (J1) against
+    the raw feature file's token column."""
+    from datacat_ray.functions.textkit import tokenize_layout
+    from datacat_ray.pipelines.training import align_labels
+    from datacat_ray.stages.tei import parse_reference_body_tei
+
+    tei_dir = os.path.join(REF_BODY, split, "tei")
+    raw_dir = os.path.join(REF_BODY, split, "raw")
+    raws = set(os.listdir(raw_dir))
+    out = []
+    for t in sorted(os.listdir(tei_dir)):
+        stem = t.split(".training")[0]
+        cand = sorted(r for r in raws if r.startswith(stem))
+        if not cand:
+            continue
+        labeled: list[tuple[str, str]] = []
+        for label, content in parse_reference_body_tei(
+            open(os.path.join(tei_dir, t), encoding="utf-8", errors="replace").read()
+        ):
+            lb = "<other>" if label == "<note>" else label
+            for tok in tokenize_layout(content):
+                if not tok.isspace():
+                    labeled.append((tok, lb))
+        feats = []
+        toks = []
+        for ln in open(os.path.join(raw_dir, cand[0]), encoding="utf-8",
+                       errors="replace"):
+            cols = ln.strip().split(" ")
+            if len(cols) < 24:
+                continue
+            feats.append(dict(zip(BODY_FIELDS, cols[:24])))
+            toks.append(cols[0])
+        res = align_labels(toks, labeled)
+        if res is None:
+            continue
+        out.append((t, feats, [lb for _, lb in res[0]]))
+        if limit and len(out) >= limit:
+            break
+    return out
+
+
+def load_body_template():
+    from datacat_ray.stages.crf import parse_crfpp_template
+
+    path = os.path.join(
+        REF_BODY, "crfpp-templates", "datacat-body-segmentation.template"
+    )
+    return parse_crfpp_template(open(path).read(), BODY_FIELDS)
+
+
+def reference_body_train_eval(epochs: int = 6) -> tuple[pa.Table, str]:
+    """Body-segmentation counterpart of ``reference_train_eval`` (14 train
+    + 3 eval committed pairs; reference committed micro-F1 22–86 across
+    corpus variants)."""
+    import ray.data
+
+    from datacat_ray.pipelines.training import eval_metrics, format_eval_report
+    from datacat_ray.stages.train import _train_shard, _viterbi, expand_sequence
+
+    templates = load_body_template()
+    train = load_body_pairs("corpus")
+    seqs = [(expand_sequence(f, templates), g) for _, f, g in train]
+    w, trans = _train_shard(seqs, BODY_LABELS, {}, {}, epochs_per_round=epochs)
+    golds: list[str] = []
+    preds: list[str] = []
+    for _, feats, gold in load_body_pairs("evaluation"):
+        pred = _viterbi(expand_sequence(feats, templates), BODY_LABELS, w, trans)
+        golds.extend(gold)
+        preds.extend(pred)
+    pairs = ray.data.from_arrow(pa.table({"gold": golds, "pred": preds}))
+    metrics = eval_metrics(pairs)
+    return metrics, format_eval_report(metrics, accuracy_total=len(golds))
+
+
 def reference_train_eval(
     train_docs: int = 120, epochs: int = 6, shards: int = 1
 ) -> tuple[pa.Table, str]:

@@ -55,3 +55,17 @@ def test_parameter_mixing_runs(ray_session):
     seqs = [(expand_sequence(f, templates), g) for _, f, g in train]
     w, trans = train_parameter_mixing(seqs, SEG_LABELS, epochs=2, shards=3)
     assert w and trans
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference checkout absent")
+def test_body_model_train_eval(ray_session):
+    """Body-segmentation reproduction: small corpus (11 aligned pairs), so
+    the full loop runs in-suite; must beat the reference's largest-eval
+    committed micro F1 (57.93)."""
+    from datacat_ray.pipelines.reference_eval import reference_body_train_eval
+
+    metrics, report = reference_body_train_eval(epochs=4)
+    rows = {r["label"]: r for r in metrics.to_pylist()}
+    micro = rows["__micro__"]
+    f1 = micro["f1_micros"] / 1e6
+    assert f1 >= 0.60, report
