@@ -150,6 +150,50 @@ def reference_body_train_eval(epochs: int = 6) -> tuple[pa.Table, str]:
     return metrics, format_eval_report(metrics, accuracy_total=len(golds))
 
 
+def nfold_eval(
+    n_folds: int = 5, docs: int = 40, epochs: int = 3
+) -> list[float]:
+    """A6 n-fold evaluation (``AbstractTrainer.runNFoldEvaluation`` via
+    ``DatacatTrainerRunner.java:130-142``) on the reference corpus: docs
+    assigned to folds by the seeded hash (``training.nfold_of``); each fold
+    trains on the rest and evaluates on itself. Folds run as PARALLEL Ray
+    tasks (independent train/eval pairs — the embarrassingly parallel
+    outer loop the reference runs sequentially). Returns per-fold micro
+    accuracy."""
+    import ray as _ray
+
+    from datacat_ray.pipelines.training import nfold_of
+    from datacat_ray.stages.train import _train_shard, _viterbi, expand_sequence
+
+    templates = load_reference_template()
+    pairs = load_pairs("corpus", limit=docs)
+    seqs = [
+        (nfold_of(i, n_folds), expand_sequence(f, templates), g)
+        for i, (_, f, g) in enumerate(pairs)
+    ]
+    # the expanded corpus is ~100 MB of feature strings — ship it through
+    # the object store ONCE (shared zero-copy-ish by all fold tasks), never
+    # inside the function closure (Ray caps pickled closures at 95 MiB)
+    seqs_ref = _ray.put(seqs)
+
+    @_ray.remote
+    def _fold(k: int, seqs_obj) -> float:
+        train = [(fs, g) for fid, fs, g in seqs_obj if fid != k]
+        test = [(fs, g) for fid, fs, g in seqs_obj if fid == k]
+        if not train or not test:
+            return float("nan")
+        w, trans = _train_shard(train, SEG_LABELS, {}, {},
+                                epochs_per_round=epochs)
+        tp = tot = 0
+        for fs, gold in test:
+            pred = _viterbi(fs, SEG_LABELS, w, trans)
+            tp += sum(1 for a, b in zip(gold, pred) if a == b)
+            tot += len(gold)
+        return tp / tot if tot else float("nan")
+
+    return _ray.get([_fold.remote(k, seqs_ref) for k in range(n_folds)])
+
+
 def reference_train_eval(
     train_docs: int = 120, epochs: int = 6, shards: int = 1
 ) -> tuple[pa.Table, str]:

@@ -69,3 +69,14 @@ def test_body_model_train_eval(ray_session):
     micro = rows["__micro__"]
     f1 = micro["f1_micros"] / 1e6
     assert f1 >= 0.60, report
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference checkout absent")
+def test_nfold_parallel(ray_session):
+    """A6 n-fold on real corpus docs: folds run as parallel Ray tasks and
+    each clears the trivial floor."""
+    from datacat_ray.pipelines.reference_eval import nfold_eval
+
+    accs = nfold_eval(n_folds=2, docs=10, epochs=2)
+    assert len(accs) == 2
+    assert all(a > 0.3 for a in accs), accs
