@@ -18,6 +18,7 @@ covered by unit tests. Reference semantics (described, not copied):
 
 from __future__ import annotations
 
+import functools
 import re
 import unicodedata
 
@@ -44,6 +45,7 @@ _DIGIT_RE = re.compile(r"\d")
 _ALLDIGIT_RE = re.compile(r"^\d+$")
 
 
+@functools.lru_cache(maxsize=100_000)
 def digit_class(token: str) -> str:
     """ALLDIGIT / CONTAINSDIGITS / NODIGIT."""
     if not token:
@@ -55,6 +57,7 @@ def digit_class(token: str) -> str:
     return "NODIGIT"
 
 
+@functools.lru_cache(maxsize=100_000)
 def capitalisation_class(token: str) -> str:
     """INITCAP / ALLCAP / NOCAPS; all-digit tokens are NOCAPS.
 
@@ -83,6 +86,7 @@ _QUOTES = set("\"'`«»“”‘’")
 _PUNCT_CHARS = set(".,;:!?-—–'\"`()[]{}<>«»“”‘’/\\|@#%&*_+=~^")
 
 
+@functools.lru_cache(maxsize=100_000)
 def punct_type(token: str) -> str:
     """Punctuation class of a single token.
 
