@@ -163,9 +163,9 @@ def main() -> None:
     ap.add_argument("--extract-only", action="store_true")
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--sf-dir", default=SF_DIR)
-    ap.add_argument("--repeat", type=int, default=8,
+    ap.add_argument("--repeat", type=int, default=24,
                     help="input tiling factor for --scaling / --extract-only")
-    ap.add_argument("--trials", type=int, default=3,
+    ap.add_argument("--trials", type=int, default=2,
                     help="interleaved trials per parallelism level (--scaling)")
     # 4,16 default: the sandbox VM's cores scale linearly to ~16 concurrent
     # processes and then saturate (~0.84 of linear at 32, pure-Python burn
