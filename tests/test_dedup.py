@@ -101,3 +101,32 @@ def test_hll_approx_distinct(ray_session):
     approx, err = approx_distinct(ds, "user_id")
     exact = len(ds.unique("user_id"))
     assert abs(approx - exact) / exact <= 3 * err + 0.02
+
+
+def test_dedup_batch_property():
+    """Property: keep-latest keeps exactly one row per key — the one with
+    max ts (nulls lose), ties resolved to a stable winner."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 5),
+                              st.one_of(st.none(), st.integers(0, 20))),
+                    min_size=0, max_size=40))
+    def prop(rows):
+        t = pa.Table.from_pydict({
+            "url": [str(k) for k, _ in rows],
+            "warc_ts": pa.array([ts for _, ts in rows], pa.int64()),
+            "payload": [f"{i}" for i in range(len(rows))],
+        })
+        out = _dedup_batch(t, "url", "warc_ts")
+        keys = out["url"].to_pylist()
+        assert len(keys) == len(set(keys)) == len({k for k, _ in rows})
+        got_ts = dict(zip(keys, out["warc_ts"].to_pylist()))
+        for k in set(k for k, _ in rows):
+            tss = [ts for kk, ts in rows if kk == k]
+            non_null = [x for x in tss if x is not None]
+            want = max(non_null) if non_null else None
+            assert got_ts[str(k)] == want
+
+    prop()

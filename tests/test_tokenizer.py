@@ -72,3 +72,43 @@ def test_cap_guards_route_to_error_side_output():
     out2 = tokenize_stage(_batch([big[:30]]), max_tokens=10, max_blocks=100)
     assert out2["error"].to_pylist()[0].startswith("TOO_MANY_TOKENS")
     assert out2["tokens"].to_pylist()[0] == []
+
+
+def test_wrap_text_conservation_property():
+    """Property: wrapping never loses or duplicates characters except the
+    single inter-word space consumed at each wrap point."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from datacat_ray.stages.tokenizer import wrap_text
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.text(alphabet=st.characters(
+        blacklist_categories=("Cs",), blacklist_characters=" \n\r\t"),
+        min_size=1, max_size=30), min_size=0, max_size=30))
+    def prop(words):
+        text = " ".join(words)
+        lines = wrap_text(text, width=20)
+        assert " ".join(lines) == text  # join with the consumed spaces
+        for ln in lines[:-1] if len(lines) > 1 else []:
+            # no line exceeds width unless it is a single oversized word
+            assert len(ln) <= 20 or " " not in ln
+
+    prop()
+
+
+def test_tokenize_layout_roundtrip_property():
+    """Property: concatenating layout tokens reproduces the input exactly
+    (the rawtxt byte-identity invariant, S9) for arbitrary unicode."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from datacat_ray.functions.textkit import tokenize_layout
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)),
+                   max_size=300))
+    def prop(text):
+        assert "".join(tokenize_layout(text)) == text
+
+    prop()
