@@ -36,7 +36,9 @@ def load_pairs(split: str, limit: int | None = None):
     out = []
     for t in sorted(os.listdir(tei_dir)):
         stem = t.replace(".training.datacat.tei.xml", "")
-        cand = [r for r in raws if r.startswith(stem)]
+        # sorted + full-stem-plus-delimiter match: set iteration order is
+        # per-process, and a bare prefix could hit another doc's raw file
+        cand = sorted(r for r in raws if r.startswith(stem + "."))
         if not cand:
             continue
         tei_pairs = parse_reference_tei(

@@ -176,9 +176,9 @@ def top_terms(sf_dir: str, k: int = 20) -> pa.Table:
     )
 
 
-TOP_TERMS_SQL = """
+TOP_TERMS_SQL = r"""
     SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM (
-        SELECT unnest(string_split(text, ' ')) AS term FROM documents
+        SELECT unnest(regexp_split_to_array(text, '\s+')) AS term FROM documents
     ) WHERE term <> ''
     GROUP BY term ORDER BY n DESC, term ASC LIMIT 20
 """

@@ -137,7 +137,9 @@ def align_labels(
 # ---------------------------------------------------------------------------
 
 
-def eval_metrics(pairs: "ray.data.Dataset") -> pa.Table:
+def eval_metrics(
+    pairs: "ray.data.Dataset", labels: tuple[str, ...] | None = None
+) -> pa.Table:
     """Per-label precision/recall/F1 over a (gold, pred) Dataset, plus a
     ``__micro__`` row — the engine analogue of the reference's committed
     ``eval.txt`` artifacts (``AbstractTrainer.runEvaluation`` via
@@ -180,6 +182,18 @@ def eval_metrics(pairs: "ray.data.Dataset") -> pa.Table:
         )
         .to_pandas()
     )
+    if labels:
+        # emit zero-count rows for expected-but-unobserved labels so the
+        # row set matches oracles that enumerate the full label space
+        import pandas as pd
+
+        missing = [l for l in labels if l not in set(counts["label"])]
+        if missing:
+            counts = pd.concat(
+                [counts, pd.DataFrame(
+                    {"label": missing, "tp": 0, "fp": 0, "fn": 0})],
+                ignore_index=True,
+            )
 
     def _row(label, tp, fp, fn):
         import math
@@ -273,7 +287,9 @@ def quality_band_eval(sf_dir: str) -> pa.Table:
         )
         return pa.Table.from_pydict({"gold": gold, "pred": pred})
 
-    return eval_metrics(ds.map_batches(_bands, batch_format="pyarrow"))
+    return eval_metrics(
+        ds.map_batches(_bands, batch_format="pyarrow"), labels=("long", "short")
+    )
 
 
 QUALITY_BAND_EVAL_SQL = """

@@ -174,9 +174,14 @@ def compute_winners(
     winners: dict[int, object] = {}
     for batch in local.iter_batches(batch_format="pyarrow", batch_size=65536):
         for h, t in zip(batch["h"].to_pylist(), batch[ts].to_pylist()):
-            cur = winners.get(h)
-            if cur is None or t > cur:
+            # null ts never beats a real ts (None > datetime is a TypeError);
+            # an all-null key still gets seeded with None on first sight
+            if h not in winners:
                 winners[h] = t
+            elif t is not None:
+                cur = winners[h]
+                if cur is None or t > cur:
+                    winners[h] = t
     return winners
 
 

@@ -180,8 +180,13 @@ import re as _re
 _SCRIPT_STYLE_RE = _re.compile(
     r"<(script|style)\b[^>]*>.*?</\1\s*>", _re.S | _re.I
 )
-_COMMENT_RE = _re.compile(r"<!--.*?-->|<![^>]*>", _re.S)
-_TAG_RE = _re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)[^>]*?(/?)>")
+_COMMENT_RE = _re.compile(r"<!--.*?-->|<!\[CDATA\[.*?\]\]>|<![^>]*>", _re.S)
+# quoted attribute values may contain '>' (<a title="a>b">) — the attribute
+# region alternation skips quoted spans whole instead of stopping at the
+# first '>', matching the stdlib parser's attribute state machine
+_TAG_RE = _re.compile(
+    r"<(/?)([a-zA-Z][a-zA-Z0-9]*)(?:\"[^\"]*\"|'[^']*'|[^>\"'])*?(/?)>"
+)
 
 
 def _scan_html(html: str, parser: _BlockParser) -> None:

@@ -130,3 +130,30 @@ def test_dedup_batch_property():
             assert got_ts[str(k)] == want
 
     prop()
+
+
+def test_compute_winners_distributed_null_ts(ray_session, tmp_path, monkeypatch):
+    """The distributed winner merge must not crash when a null warc_ts for a
+    key arrives after (or before) a real one — None never beats a real ts,
+    all-null keys survive with None."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    from datacat_ray.stages import dedup as D
+
+    t1 = pa.Table.from_pydict(
+        {"url": ["a", "b"],
+         "warc_ts": pa.array([None, None], pa.timestamp("us"))}
+    )
+    t2 = pa.Table.from_pydict(
+        {"url": ["a"],
+         "warc_ts": pa.array([datetime.datetime(2020, 1, 1)], pa.timestamp("us"))}
+    )
+    pq.write_table(t1, str(tmp_path / "p1.parquet"))
+    pq.write_table(t2, str(tmp_path / "p2.parquet"))
+    monkeypatch.setattr(D, "_DRIVER_WINNER_ROWS", 0)
+    win = D.compute_winners(str(tmp_path))
+    h = D._key_hash64(pa.array(["a", "b"]))
+    assert win[h[0]] == datetime.datetime(2020, 1, 1)
+    assert win[h[1]] is None

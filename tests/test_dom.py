@@ -98,3 +98,22 @@ def test_strip_realistic_boilerplate_shapes():
     assert "Home" not in joined and "Shop" not in joined
     assert "Copyright" not in joined
     assert all("x y z" not in t for t in texts)  # link farm: link-density kill
+
+
+def test_scanner_quoted_gt_and_cdata():
+    """Quoted attribute values containing '>' and CDATA sections must not
+    leak attribute/CDATA remainders as text (scan == stdlib)."""
+    from datacat_ray.stages.dom import parse_main_blocks
+
+    cases = [
+        '<p>before <a title="a>b" href="/x">link</a> after words here okay</p>',
+        "<p>one <span title='x>y'>two</span> three four five six seven ok</p>",
+        "<p>keep this text here please</p><![CDATA[junk > more]]>"
+        "<p>and this second sentence too</p>",
+        '<div data-x="1>2" data-y=\'3>4\'>real body sentence long enough</div>',
+    ]
+    for s in cases:
+        scan = parse_main_blocks(s, "scan")
+        assert scan == parse_main_blocks(s, "stdlib")
+        joined = " ".join(b["text"] for b in scan)
+        assert ">" not in joined and "junk" not in joined
