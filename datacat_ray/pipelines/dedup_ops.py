@@ -60,19 +60,26 @@ def exact_dedup(sf_dir: str) -> "ray.data.Dataset":
 
 def latest_events(sf_dir: str) -> "ray.data.Dataset":
     """One row per user_id: the event with max (ts, event_id) — the same
-    keep-latest dedup the flagship pipeline applies to url captures."""
-    import pyarrow.compute as pc
+    keep-latest dedup the flagship pipeline applies to url captures.
+
+    Shape (stages/bucketed.py): within-batch vectorized keep-last, then ONE
+    hash shuffle on an int bucket of user_id and the same vectorized kernel
+    per bucket — O(buckets) Python calls, not O(distinct users)."""
+    from datacat_ray.stages.bucketed import add_bucket, keep_last
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
-
-    def _latest(group: pa.Table) -> pa.Table:
-        i = pc.sort_indices(
-            group,
-            sort_keys=[("ts", "ascending"), ("event_id", "ascending")],
-        )[-1].as_py()
-        return group.slice(i, 1)
-
-    return ds.groupby("user_id").map_groups(_latest, batch_format="pyarrow")
+    ds = ds.map_batches(
+        lambda t: add_bucket(
+            keep_last(t, "user_id", ["ts", "event_id"]), "user_id"
+        ),
+        batch_format="pyarrow",
+    )
+    return ds.groupby("__bucket").map_groups(
+        lambda g: keep_last(
+            g.drop_columns(["__bucket"]), "user_id", ["ts", "event_id"]
+        ),
+        batch_format="pyarrow",
+    )
 
 
 # ---------------------------------------------------------------------------

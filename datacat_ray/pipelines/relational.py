@@ -186,30 +186,52 @@ def user_sessions(sf_dir: str, gap_min: int = SESSION_GAP_MIN) -> "ray.data.Data
     previous event exceeds ``gap_min`` minutes. Returns per-user session
     count + event count.
 
-    Shape: ONE hash shuffle on user_id (``groupby.map_groups``), then the
-    session walk is vectorized per group (numpy diff over sorted ts) — the
-    within-key ordering the operator needs is established inside the group,
-    never globally, so the shuffle stays a plain hash exchange."""
+    Shape (stages/bucketed.py): ONE hash shuffle on an int bucket of
+    user_id, then the session walk runs vectorized over the WHOLE bucket —
+    one sort by (user_id, ts, event_id), one np.diff, per-user sums via
+    ``np.add.reduceat`` at key boundaries. O(buckets) Python calls, not
+    O(distinct users); within-key ordering is established inside the
+    bucket, never globally."""
     import numpy as np
 
-    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    from datacat_ray.stages.bucketed import add_bucket, sorted_key_bounds
 
-    def _sessions(g: pa.Table) -> pa.Table:
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    gap_us = gap_min * 60_000_000
+
+    def _sessions_bucket(g: pa.Table) -> pa.Table:
         order = pc.sort_indices(
-            g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+            g, sort_keys=[("user_id", "ascending"), ("ts", "ascending"),
+                          ("event_id", "ascending")]
         )
-        ts = pc.take(g["ts"], order).cast(pa.int64()).to_numpy()  # µs
-        gaps = np.diff(ts)
-        n_sessions = 1 + int((gaps > gap_min * 60_000_000).sum()) if len(ts) else 0
+        uid = pc.take(g["user_id"], order).combine_chunks().to_numpy()
+        ts = pc.take(g["ts"], order).combine_chunks().cast(pa.int64()).to_numpy()
+        n = len(uid)
+        if n == 0:
+            return pa.Table.from_pydict(
+                {"user_id": pa.array([], pa.int64()),
+                 "n_sessions": pa.array([], pa.int64()),
+                 "n_events": pa.array([], pa.int64())}
+            )
+        starts = sorted_key_bounds(uid)
+        new_sess = np.empty(n, dtype=bool)
+        new_sess[0] = True
+        new_sess[1:] = (ts[1:] - ts[:-1]) > gap_us
+        new_sess[starts] = True  # a key change always opens a session
         return pa.Table.from_pydict(
             {
-                "user_id": [g["user_id"][0].as_py()],
-                "n_sessions": pa.array([n_sessions], type=pa.int64()),
-                "n_events": pa.array([g.num_rows], type=pa.int64()),
+                "user_id": pa.array(uid[starts], type=pa.int64()),
+                "n_sessions": pa.array(
+                    np.add.reduceat(new_sess.astype(np.int64), starts)),
+                "n_events": pa.array(np.diff(np.append(starts, n))),
             }
         )
 
-    return ds.groupby("user_id").map_groups(_sessions, batch_format="pyarrow")
+    ds = ds.map_batches(lambda t: add_bucket(t, "user_id"), batch_format="pyarrow")
+    return ds.groupby("__bucket").map_groups(
+        lambda g: _sessions_bucket(g.drop_columns(["__bucket"])),
+        batch_format="pyarrow",
+    )
 
 
 def user_sessions_sql(gap_min: int = SESSION_GAP_MIN) -> str:
@@ -234,10 +256,20 @@ def asof_purchase_attribution(sf_dir: str) -> "ray.data.Dataset":
     path (a) — composition of map_batches + groupby.map_groups): each
     'purchase' event joins the LATEST strictly-earlier 'click' by the same
     user. Partitioning assumption: both sides co-partition on the join key
-    (user_id), so the merge is a per-group vectorized ``searchsorted`` over
-    ts — one hash shuffle, no global sort. Purchases with no prior click
-    drop (inner as-of), mirroring DuckDB's ASOF JOIN oracle."""
+    (user_id) — every row of a user lands in the same bucket, so the merge
+    needs no global sort. Purchases with no prior click drop (inner as-of),
+    mirroring DuckDB's ASOF JOIN oracle.
+
+    Shape (stages/bucketed.py): ONE hash shuffle on an int bucket of
+    user_id, then the whole bucket is merged in ONE ``np.searchsorted``
+    over composite (user, ts-rank) keys — ts is densified to its rank
+    within the bucket so user*span+rank fits int64 with no overflow, and a
+    strictly-smaller composite is exactly "same user, strictly earlier
+    click" after the user-equality mask. O(buckets) Python calls, not
+    O(distinct users)."""
     import numpy as np
+
+    from datacat_ray.stages.bucketed import add_bucket
 
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
 
@@ -245,28 +277,44 @@ def asof_purchase_attribution(sf_dir: str) -> "ray.data.Dataset":
         keep = pc.is_in(
             t["event_type"], value_set=pa.array(["purchase", "click"])
         )
-        return t.filter(keep)
+        return add_bucket(t.filter(keep), "user_id")
 
-    def _attr(g: pa.Table) -> pa.Table:
+    _EMPTY = pa.Table.from_pydict(
+        {"purchase_id": pa.array([], pa.int64()),
+         "click_id": pa.array([], pa.int64()),
+         "gap_us": pa.array([], pa.int64())}
+    )
+
+    def _attr_bucket(g: pa.Table) -> pa.Table:
         order = pc.sort_indices(
-            g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+            g, sort_keys=[("user_id", "ascending"), ("ts", "ascending"),
+                          ("event_id", "ascending")]
         )
         g = g.take(order)
-        types = g["event_type"].to_pylist()
-        ts = g["ts"].cast(pa.int64()).to_numpy()  # µs
-        ids = g["event_id"].to_numpy()
-        click_mask = np.array([t == "click" for t in types])
+        uid = g["user_id"].combine_chunks().to_numpy()
+        ts = g["ts"].combine_chunks().cast(pa.int64()).to_numpy()  # µs
+        ids = g["event_id"].combine_chunks().to_numpy()
+        click_mask = pc.equal(g["event_type"], "click").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        # densify ts to its rank so the composite key fits int64
+        _, ts_rank = np.unique(ts, return_inverse=True)
+        _, uid_code = np.unique(uid, return_inverse=True)
+        span = np.int64(ts_rank.max() + 2) if len(ts) else np.int64(1)
+        comp = uid_code.astype(np.int64) * span + ts_rank
+        c_comp, c_ids, c_ts, c_uid = (
+            comp[click_mask], ids[click_mask], ts[click_mask],
+            uid_code[click_mask],
+        )
         p_mask = ~click_mask
-        c_ts, c_ids = ts[click_mask], ids[click_mask]
-        p_ts, p_ids = ts[p_mask], ids[p_mask]
-        if len(c_ts) == 0 or len(p_ts) == 0:
-            return pa.Table.from_pydict(
-                {"purchase_id": pa.array([], pa.int64()),
-                 "click_id": pa.array([], pa.int64()),
-                 "gap_us": pa.array([], pa.int64())}
-            )
-        pos = np.searchsorted(c_ts, p_ts, side="left") - 1  # latest ts < p_ts
-        ok = pos >= 0
+        p_comp, p_ids, p_ts, p_uid = (
+            comp[p_mask], ids[p_mask], ts[p_mask], uid_code[p_mask]
+        )
+        if len(c_comp) == 0 or len(p_comp) == 0:
+            return _EMPTY
+        # last click with comp strictly below the purchase's: same user ⇒
+        # strictly-earlier ts (equal ts has equal rank ⇒ equal comp)
+        pos = np.searchsorted(c_comp, p_comp, side="left") - 1
+        ok = (pos >= 0) & (c_uid[np.maximum(pos, 0)] == p_uid)
         return pa.Table.from_pydict(
             {
                 "purchase_id": pa.array(p_ids[ok], type=pa.int64()),
@@ -277,8 +325,11 @@ def asof_purchase_attribution(sf_dir: str) -> "ray.data.Dataset":
 
     return (
         ds.map_batches(_sides, batch_format="pyarrow")
-        .groupby("user_id")
-        .map_groups(_attr, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: _attr_bucket(g.drop_columns(["__bucket"])),
+            batch_format="pyarrow",
+        )
     )
 
 

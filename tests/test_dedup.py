@@ -157,3 +157,43 @@ def test_compute_winners_distributed_null_ts(ray_session, tmp_path, monkeypatch)
     h = D._key_hash64(pa.array(["a", "b"]))
     assert win[h[0]] == datetime.datetime(2020, 1, 1)
     assert win[h[1]] is None
+
+
+def test_bucketed_kernels_key_boundaries():
+    """The bucketed kernels must respect key boundaries inside a bucket:
+    sessions never span users, keep_last picks per-key maxima."""
+    import numpy as np
+
+    from datacat_ray.stages.bucketed import keep_last, sorted_key_bounds
+
+    t = pa.Table.from_pydict(
+        {"user_id": [2, 1, 2, 1, 3], "ts": [5, 9, 7, 1, 4],
+         "event_id": [0, 1, 2, 3, 4]}
+    )
+    out = keep_last(t, "user_id", ["ts", "event_id"])
+    got = dict(zip(out["user_id"].to_pylist(), out["event_id"].to_pylist()))
+    assert got == {1: 1, 2: 2, 3: 4}
+    assert sorted_key_bounds(np.array([1, 1, 2, 3, 3])).tolist() == [0, 2, 3]
+    assert sorted_key_bounds(np.array([], dtype=np.int64)).tolist() == []
+
+
+def test_bucketed_asof_matches_duckdb(ray_session):
+    """Bucketed composite-key as-of join equals DuckDB ASOF JOIN row-for-row
+    (including same-ts click exclusion and multi-user buckets)."""
+    import duckdb
+
+    from datacat_ray.pipelines.relational import (
+        ASOF_PURCHASE_SQL,
+        asof_purchase_attribution,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        map(tuple, asof_purchase_attribution(sf).to_pandas().values.tolist())
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'"
+    )
+    want = sorted(map(tuple, con.execute(ASOF_PURCHASE_SQL).fetchall()))
+    assert got == want and len(got) > 0
