@@ -20,6 +20,8 @@ that survive step 1.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -185,23 +187,181 @@ def compute_winners(
     return winners
 
 
+WINNER_BUCKETS = 64  # winner-parquet partitions; scale to keep each bucket
+# dict « worker heap (10^12 keys × 16 B / P — at that scale use P ~ 65536)
+
+
+def compute_winners_parquet(
+    path,
+    out_dir: str,
+    key: str = "url",
+    ts: str = "warc_ts",
+    n_buckets: int = WINNER_BUCKETS,
+) -> str:
+    """Distributed winner set for >driver-memory key cardinality: narrow
+    (key, ts) read → per-fragment vectorized keep-latest → ONE hash shuffle
+    on ``crc-style`` int bucket of the 64-bit key hash → per-bucket
+    keep-latest → one parquet file per bucket (``bucket-%05d.parquet``,
+    atomic rename). The driver never materializes a winner; only
+    (hash, ts) pairs cross the shuffle. ``out_dir`` must be shared storage
+    on a multi-node cluster (object store / NFS), same as any shuffle
+    spill target."""
+    import numpy as np
+
+    import ray.data as rd
+
+    from datacat_ray.stages.bucketed import keep_last
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _local(b: pa.Table) -> pa.Table:
+        b = _dedup_batch(b, key, ts)
+        h = np.array(_key_hash64(b[key]), dtype=np.uint64)
+        return pa.Table.from_pydict(
+            {
+                "h": pa.array(h, type=pa.uint64()),
+                ts: b[ts],
+                "__bucket": pa.array(
+                    (h % np.uint64(n_buckets)).astype(np.int32)),
+            }
+        )
+
+    def _reduce_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        b = int(g["__bucket"][0].as_py())
+        win = keep_last(g.drop_columns(["__bucket"]), "h", [ts])
+        tmp = os.path.join(out_dir, f".tmp.bucket-{b:05d}.parquet.{os.getpid()}")
+        pq.write_table(win, tmp)
+        os.replace(tmp, os.path.join(out_dir, f"bucket-{b:05d}.parquet"))
+        return pa.Table.from_pydict(
+            {"bucket": pa.array([b], pa.int32()),
+             "n_keys": pa.array([win.num_rows], pa.int64())}
+        )
+
+    narrow = rd.read_parquet(path, columns=[key, ts])
+    summary = (
+        narrow.map_batches(_local, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_reduce_bucket, batch_format="pyarrow")
+    )
+    summary.materialize()  # drive the writes; summary itself is tiny
+    return out_dir
+
+
+class BucketWinnerFilter:
+    """Actor-pool filter stage: keeps an LRU of per-bucket winner dicts so
+    each worker holds at most ``max_cached`` × (cardinality / n_buckets)
+    entries — bounded memory at any key cardinality. Input layouts where
+    captures of a url cluster (Common-Crawl segment files) touch few
+    buckets per batch; worst-case random layouts re-read bucket files,
+    trading IO for the driver-dict's unbounded heap."""
+
+    def __init__(
+        self,
+        winner_dir: str,
+        key: str = "url",
+        ts: str = "warc_ts",
+        n_buckets: int = WINNER_BUCKETS,
+        max_cached: int = 16,
+    ):
+        self._dir = winner_dir
+        self._key, self._ts, self._n = key, ts, n_buckets
+        self._max = max_cached
+        from collections import OrderedDict
+
+        self._lru: "OrderedDict[int, dict]" = OrderedDict()
+
+    def _bucket_dict(self, b: int) -> dict:
+        d = self._lru.get(b)
+        if d is not None:
+            self._lru.move_to_end(b)
+            return d
+        import pyarrow.parquet as pq
+
+        f = os.path.join(self._dir, f"bucket-{b:05d}.parquet")
+        if os.path.exists(f):
+            t = pq.read_table(f)
+            d = dict(zip(t["h"].to_pylist(), t[self._ts].to_pylist()))
+        else:  # bucket with zero keys is never written
+            d = {}
+        self._lru[b] = d
+        while len(self._lru) > self._max:
+            self._lru.popitem(last=False)
+        return d
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = batch.num_rows
+        if n == 0:
+            return batch
+        hashes = np.array(_key_hash64(batch[self._key]), dtype=np.uint64)
+        buckets = (hashes % np.uint64(self._n)).astype(np.int64)
+        tss = batch[self._ts].to_pylist()
+        mask = np.zeros(n, dtype=bool)
+        for b in np.unique(buckets):
+            d = self._bucket_dict(int(b))
+            for i in np.flatnonzero(buckets == b):
+                mask[i] = d.get(int(hashes[i])) == tss[i]
+        return _dedup_batch(
+            batch.filter(pa.array(mask)), self._key, self._ts
+        )
+
+
 def dedup_latest_prefilter(
     path,
     key: str = "url",
     ts: str = "warc_ts",
     columns: list[str] | None = None,
+    mode: str = "auto",
+    winner_dir: str | None = None,
+    filter_concurrency: int = 4,
 ) -> "ray.data.Dataset":
     """Keep-latest dedup with ZERO wide shuffle: a narrow (key, ts) winner
-    pass, then a streaming filter of the full read against the broadcast
-    winner map. Stale captures are dropped at the read — the html payload
-    of a loser never enters the pipeline.
+    pass, then a streaming filter of the full read against the winner set.
+    Stale captures are dropped at the read — the html payload of a loser
+    never enters the pipeline.
 
-    Exactness caveat: two captures of one url with byte-equal max ``ts``
-    both pass the filter (a data pathology — same-microsecond recapture);
-    co-located ones are removed by the in-batch dedup, cross-fragment ones
-    survive. Use ``dedup_latest`` (exact groupby) where that matters."""
+    ``mode="driver"``: winner map broadcast via ``ray.put`` (fast below
+    ``_DRIVER_WINNER_ROWS`` input rows). ``mode="bucketed"``: the
+    >driver-memory path — hash-bucketed winner parquet
+    (``compute_winners_parquet``) probed by an actor-pool filter with a
+    bounded per-worker bucket LRU (``BucketWinnerFilter``); output is
+    byte-identical to the driver path. ``mode="auto"`` picks by row count.
+
+    Exactness caveat (both modes): two captures of one url with byte-equal
+    max ``ts`` both pass the filter (a data pathology — same-microsecond
+    recapture); co-located ones are removed by the in-batch dedup,
+    cross-fragment ones survive. Use ``dedup_latest`` (exact groupby)
+    where that matters."""
     import ray as _ray
     import ray.data as rd
+
+    if mode == "auto":
+        import pyarrow.dataset as pads
+
+        big = pads.dataset(path, format="parquet").count_rows() > _DRIVER_WINNER_ROWS
+        mode = "bucketed" if big else "driver"
+
+    ds = rd.read_parquet(path, columns=columns)
+
+    if mode == "bucketed":
+        if winner_dir is None:
+            import hashlib
+            import tempfile
+
+            digest = hashlib.sha1(str(path).encode()).hexdigest()[:12]
+            winner_dir = os.path.join(
+                tempfile.gettempdir(), f"datacat_winners_{digest}"
+            )
+        compute_winners_parquet(path, winner_dir, key, ts)
+        return ds.map_batches(
+            BucketWinnerFilter,
+            fn_constructor_args=(winner_dir, key, ts),
+            batch_format="pyarrow",
+            concurrency=filter_concurrency,
+        )
 
     winners = compute_winners(path, key, ts)
     ref = _ray.put(winners)
@@ -213,5 +373,4 @@ def dedup_latest_prefilter(
         mask = pa.array([w.get(h) == t for h, t in zip(hashes, tss)])
         return _dedup_batch(b.filter(mask), key, ts)
 
-    ds = rd.read_parquet(path, columns=columns)
     return ds.map_batches(_filter, batch_format="pyarrow")

@@ -197,3 +197,46 @@ def test_bucketed_asof_matches_duckdb(ray_session):
     )
     want = sorted(map(tuple, con.execute(ASOF_PURCHASE_SQL).fetchall()))
     assert got == want and len(got) > 0
+
+
+def test_bucketed_winner_prefilter_matches_driver(ray_session, tmp_path):
+    """The >driver-memory winner path (bucketed winner parquet + actor-pool
+    LRU filter) must produce exactly the rows the driver-dict path keeps,
+    including null-ts keys, on a multi-fragment input with cross-fragment
+    duplicates."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    from datacat_ray.stages.dedup import dedup_latest_prefilter
+
+    d = datetime.datetime
+    frags = [
+        {"url": ["a", "b", "c"], "warc_ts": [d(2020, 1, 1), d(2020, 1, 5), None],
+         "payload": ["a1", "b5", "cN"]},
+        {"url": ["a", "b", "d"], "warc_ts": [d(2020, 1, 3), d(2020, 1, 2), None],
+         "payload": ["a3", "b2", "dN"]},
+        {"url": ["a", "c"], "warc_ts": [d(2020, 1, 2), d(2020, 1, 9)],
+         "payload": ["a2", "c9"]},
+    ]
+    src = tmp_path / "pages"
+    src.mkdir()
+    for i, f in enumerate(frags):
+        t = pa.Table.from_pydict(
+            {"url": f["url"],
+             "warc_ts": pa.array(f["warc_ts"], pa.timestamp("us")),
+             "payload": f["payload"]}
+        )
+        pq.write_table(t, str(src / f"part-{i}.parquet"))
+
+    def rows(ds):
+        return sorted(
+            (r["url"], r["payload"]) for r in ds.take_all()
+        )
+
+    driver = rows(dedup_latest_prefilter(str(src), mode="driver"))
+    bucketed = rows(dedup_latest_prefilter(
+        str(src), mode="bucketed", winner_dir=str(tmp_path / "win"),
+        filter_concurrency=1))
+    assert driver == bucketed
+    assert dict(driver) == {"a": "a3", "b": "b5", "c": "c9", "d": "dN"}
