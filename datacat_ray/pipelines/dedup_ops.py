@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -134,81 +135,204 @@ def band_keys(sig: np.ndarray) -> list[int]:
     return keys
 
 
-def _minhash_band_rows(batch: pa.Table) -> pa.Table:
-    """documents batch → exploded (bucket, doc_id, sig) rows, 16 per doc.
-    The signature travels as ONE fixed 1 KB little-endian binary value, not
-    a list<int64> — Arrow list-of-int columns pay per-element Python
-    conversion at both ends of the shuffle; an opaque byte blob is a single
-    buffer copy."""
+def _sig_rows(batch: pa.Table) -> pa.Table:
+    """documents batch → (doc_id, sig): the 128-minhash signature as ONE
+    fixed 1 KB little-endian binary blob (an Arrow list<int64> would pay
+    per-element Python conversion at both ends of every exchange; an opaque
+    byte blob is a single buffer copy). Computed ONCE per doc and reused by
+    the band explode and both verification join sides."""
     doc_ids = batch["doc_id"].to_pylist()
     texts = batch["text"].to_pylist()
+    sigs = [
+        minhash_signature(char_shingles(t)).astype("<u8").tobytes()
+        for t in texts
+    ]
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "sig": pa.array(sigs, type=pa.binary()),
+        }
+    )
+
+
+def _band_rows(batch: pa.Table) -> pa.Table:
+    """sig rows → exploded NARROW (bucket, doc_id) band rows, 16 per doc.
+    The 1 KB signature deliberately does NOT ride along: shipping it with
+    every band row multiplied shuffle volume ×16 (16 KB/doc); the verify
+    phase joins the sig table once per pair side instead."""
     out_bucket: list[int] = []
     out_doc: list[int] = []
-    out_sig: list[bytes] = []
-    for doc_id, text in zip(doc_ids, texts):
-        sig = minhash_signature(char_shingles(text))
-        blob = sig.astype("<u8").tobytes()
+    for doc_id, blob in zip(
+        batch["doc_id"].to_pylist(), batch["sig"].to_pylist()
+    ):
+        sig = np.frombuffer(blob, dtype="<u8")
         for key in band_keys(sig):
             out_bucket.append(key)
             out_doc.append(doc_id)
-            out_sig.append(blob)
     return pa.Table.from_pydict(
         {
             "bucket": pa.array(out_bucket, type=pa.int64()),
             "doc_id": pa.array(out_doc, type=pa.int64()),
-            "sig": pa.array(out_sig, type=pa.binary()),
         }
     )
 
 
-MAX_BUCKET = 64  # skew guard: a hotter bucket than this is boilerplate-like;
-# cap the pairs emitted per bucket (documented silent-cap: logged via count)
+MAX_BUCKET = 64  # skew guard: above this a bucket is boilerplate-like and
+# all-pairs would be O(n²); such buckets degrade to STAR pairs (see below)
 
 
-def _bucket_pairs(group: pa.Table, threshold: float) -> pa.Table:
-    n = group.num_rows
-    a_col, b_col, est = [], [], []
-    if 2 <= n <= MAX_BUCKET:
-        doc_ids = group["doc_id"].to_pylist()
-        sigs = np.vstack(
-            [np.frombuffer(b, dtype="<u8") for b in group["sig"].to_pylist()]
+def _bucket_cands(group: pa.Table) -> pa.Table:
+    """One LSH bucket → candidate (doc_a, doc_b) pairs, doc_a < doc_b.
+
+    ≤ MAX_BUCKET members: all pairs. Hot buckets (boilerplate-heavy
+    clusters) emit STAR pairs around the min doc_id instead — O(n) rows
+    that keep the near-dup cluster CONNECTED for component-style dedup
+    rather than silently dropping it; the degradation is logged."""
+    ids = sorted(set(group["doc_id"].to_pylist()))
+    n = len(ids)
+    a_col: list[int] = []
+    b_col: list[int] = []
+    if n > MAX_BUCKET:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "hot LSH bucket: %d members > cap %d — emitting %d star pairs "
+            "around doc %d instead of %d all-pairs",
+            n, MAX_BUCKET, n - 1, ids[0], n * (n - 1) // 2,
         )
-        order = np.argsort(doc_ids, kind="stable")
-        for ii in range(n):
-            for jj in range(ii + 1, n):
-                i, j = order[ii], order[jj]
-                if doc_ids[i] == doc_ids[j]:
-                    continue
-                jac = float(np.mean(sigs[i] == sigs[j]))
-                if jac >= threshold:
-                    a, b = sorted((doc_ids[i], doc_ids[j]))
-                    a_col.append(a)
-                    b_col.append(b)
-                    est.append(round(jac, 6))
+        rep = ids[0]
+        a_col = [rep] * (n - 1)
+        b_col = ids[1:]
+    elif n >= 2:
+        for i in range(n):
+            for j in range(i + 1, n):
+                a_col.append(ids[i])
+                b_col.append(ids[j])
     return pa.Table.from_pydict(
         {
             "doc_a": pa.array(a_col, type=pa.int64()),
             "doc_b": pa.array(b_col, type=pa.int64()),
-            "est_jaccard": pa.array(est, type=pa.float64()),
         }
     )
 
 
-def minhash_candidate_pairs(
-    sf_dir: str, threshold: float = 0.7
-) -> "ray.data.Dataset":
-    """Near-duplicate pairs by MinHash-LSH, deduplicated across bands via a
-    final groupby on (doc_a, doc_b)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    bands = ds.map_batches(_minhash_band_rows, batch_format="pyarrow")
-    pairs = bands.groupby("bucket").map_groups(
-        lambda g: _bucket_pairs(g, threshold), batch_format="pyarrow"
+def _est_jaccard_batch(batch: pa.Table, threshold: float) -> pa.Table:
+    """(doc_a, doc_b, sig_a, sig_b) → signature-estimated Jaccard ≥
+    threshold, fully vectorized (one stacked equality over all pairs)."""
+    if batch.num_rows == 0:
+        return pa.Table.from_pydict(
+            {"doc_a": pa.array([], pa.int64()),
+             "doc_b": pa.array([], pa.int64()),
+             "est_jaccard": pa.array([], pa.float64())}
+        )
+    a = np.vstack([np.frombuffer(x, dtype="<u8")
+                   for x in batch["sig_a"].to_pylist()])
+    b = np.vstack([np.frombuffer(x, dtype="<u8")
+                   for x in batch["sig_b"].to_pylist()])
+    jac = (a == b).mean(axis=1)
+    keep = jac >= threshold
+    return pa.Table.from_pydict(
+        {
+            "doc_a": pc.take(batch["doc_a"], pa.array(np.flatnonzero(keep))),
+            "doc_b": pc.take(batch["doc_b"], pa.array(np.flatnonzero(keep))),
+            "est_jaccard": pa.array(np.round(jac[keep], 6), type=pa.float64()),
+        }
     )
-    from ray.data.aggregate import Max
 
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Max("est_jaccard", alias_name="est_jaccard")
+
+_CAND_BROADCAST_MAX = 2_000_000  # pairs; above this, verify via join
+
+
+def minhash_candidate_pairs(
+    sf_dir: str, threshold: float = 0.7, method: str = "auto"
+) -> "ray.data.Dataset":
+    """Near-duplicate pairs by MinHash-LSH — two-phase scale shape:
+
+    1. signature pass (map_batches, once per doc) → narrow (bucket, doc_id)
+       band rows → bucket groupby → candidate pairs (star-capped hot
+       buckets) → pair dedup groupby. Only 16 B/row crosses the band
+       shuffle.
+    2. verify: the sig table joins each pair side once (2 × 1 KB per
+       CANDIDATE, not 16 KB per doc), then one vectorized signature-Jaccard
+       kernel filters by threshold.
+
+    The sig table is materialized once (narrow: doc_id + 1 KB) and reused
+    by the band explode and the verify side — at 10^12 docs this is the
+    "write sigs to parquet once, read three times" pattern.
+
+    Verify method: ``"broadcast"`` fetches ONLY the candidate docs'
+    signatures (one streaming membership filter over the sig table, then
+    ``ray.put``) — driver memory is O(candidates), fine up to millions of
+    pairs; ``"join"`` joins the sig table once per pair side — the path
+    when the candidate set itself exceeds driver memory. ``"auto"`` picks
+    by candidate count."""
+    from ray.data.aggregate import Count
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
+    sigs = docs.map_batches(_sig_rows, batch_format="pyarrow").materialize()
+    bands = sigs.map_batches(_band_rows, batch_format="pyarrow")
+    cands = (
+        bands.groupby("bucket")
+        .map_groups(_bucket_cands, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="__nb"))
+        .select_columns(["doc_a", "doc_b"])
+        .materialize()  # tiny (one row per candidate pair); reused below
+    )
+    if method == "auto":
+        method = "join" if cands.count() > _CAND_BROADCAST_MAX else "broadcast"
+
+    if method == "join":
+        # joins reserve one aggregator actor per partition: size to CPUs/2
+        # so two chained joins cannot deadlock a small session (measured)
+        n_parts = max(2, min(16, int(ray.cluster_resources().get("CPU", 8)) // 2))
+        a_side = sigs.map_batches(
+            lambda t: t.rename_columns(["doc_a", "sig_a"]), batch_format="pyarrow"
+        )
+        b_side = sigs.map_batches(
+            lambda t: t.rename_columns(["doc_b", "sig_b"]), batch_format="pyarrow"
+        )
+        joined = cands.join(a_side, "inner", n_parts, on=("doc_a",)).join(
+            b_side, "inner", n_parts, on=("doc_b",)
+        )
+        return joined.map_batches(
+            lambda t: _est_jaccard_batch(t, threshold), batch_format="pyarrow"
+        )
+
+    # broadcast: one streaming pass filters the sig table down to candidate
+    # docs; only those (bounded by the candidate set) reach the driver
+    cand_ids = set()
+    for b in cands.iter_batches(batch_format="pyarrow"):
+        cand_ids.update(b["doc_a"].to_pylist())
+        cand_ids.update(b["doc_b"].to_pylist())
+    ids_ref = ray.put(cand_ids)
+
+    def _member(t: pa.Table) -> pa.Table:
+        wanted = ray.get(ids_ref)
+        mask = pa.array([d in wanted for d in t["doc_id"].to_pylist()])
+        return t.filter(mask)
+
+    sig_map: dict[int, bytes] = {}
+    for b in sigs.map_batches(_member, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        sig_map.update(zip(b["doc_id"].to_pylist(), b["sig"].to_pylist()))
+    sig_ref = ray.put(sig_map)
+
+    def _verify(t: pa.Table) -> pa.Table:
+        m = ray.get(sig_ref)
+        t = t.append_column(
+            "sig_a", pa.array([m[d] for d in t["doc_a"].to_pylist()],
+                              type=pa.binary())
+        ).append_column(
+            "sig_b", pa.array([m[d] for d in t["doc_b"].to_pylist()],
+                              type=pa.binary())
+        )
+        return _est_jaccard_batch(t, threshold)
+
+    return cands.map_batches(_verify, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -276,19 +400,37 @@ def _simhash_band_rows(batch: pa.Table) -> pa.Table:
 def _simhash_bucket_pairs(group: pa.Table, max_hamming: int) -> pa.Table:
     n = group.num_rows
     a_col, b_col, ham = [], [], []
-    if 2 <= n <= MAX_BUCKET:
+
+    def _emit(i: int, j: int, doc_ids, hs) -> None:
+        if doc_ids[i] == doc_ids[j]:
+            return
+        d = bin(hs[i] ^ hs[j]).count("1")
+        if d <= max_hamming:
+            a, b = sorted((doc_ids[i], doc_ids[j]))
+            a_col.append(a)
+            b_col.append(b)
+            ham.append(d)
+
+    if n >= 2:
         doc_ids = group["doc_id"].to_pylist()
         hs = [h + (1 << 63) for h in group["simhash"].to_pylist()]
-        for i in range(n):
-            for j in range(i + 1, n):
-                if doc_ids[i] == doc_ids[j]:
-                    continue
-                d = bin(hs[i] ^ hs[j]).count("1")
-                if d <= max_hamming:
-                    a, b = sorted((doc_ids[i], doc_ids[j]))
-                    a_col.append(a)
-                    b_col.append(b)
-                    ham.append(d)
+        if n > MAX_BUCKET:
+            # hot bucket: STAR pairs around min doc_id — O(n), keeps the
+            # cluster connected instead of silently dropping it (logged)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "hot SimHash bucket: %d members > cap %d — star pairs only",
+                n, MAX_BUCKET,
+            )
+            rep = min(range(n), key=lambda i: doc_ids[i])
+            for j in range(n):
+                if j != rep:
+                    _emit(rep, j, doc_ids, hs)
+        else:
+            for i in range(n):
+                for j in range(i + 1, n):
+                    _emit(i, j, doc_ids, hs)
     return pa.Table.from_pydict(
         {
             "doc_a": pa.array(a_col, type=pa.int64()),
@@ -342,16 +484,21 @@ def _exact_jaccard_batch(batch: pa.Table, threshold: float) -> pa.Table:
 
 
 def ngram_jaccard_pairs(
-    sf_dir: str, threshold: float = 0.6, method: str = "broadcast"
+    sf_dir: str, threshold: float = 0.6, method: str = "auto"
 ) -> "ray.data.Dataset":
     """MinHash-LSH candidates re-verified with EXACT shingle Jaccard.
 
-    ``method="broadcast"`` (bench scale): texts shipped once via ``ray.put``
-    and looked up per task. ``method="join"`` (the 10^12-doc path, tested
+    ``method="broadcast"``: ONLY the candidate docs' texts are fetched
+    (streaming membership filter over the documents table — never a full
+    driver-side read) and shipped once via ``ray.put``; driver memory is
+    O(candidates). ``method="join"`` (the 10^12-doc path, tested
     equivalent): candidates hash-join against the documents table on doc_id
-    — twice, once per pair side — so no driver-side text materialization
-    ever happens; the shuffle moves only candidate rows + their two texts."""
-    cands = minhash_candidate_pairs(sf_dir, threshold=0.5)
+    — twice, once per pair side — so nothing pair-related ever sits on the
+    driver. ``"auto"`` switches to join above ``_CAND_BROADCAST_MAX``
+    candidate pairs."""
+    cands = minhash_candidate_pairs(sf_dir, threshold=0.5).materialize()
+    if method == "auto":
+        method = "join" if cands.count() > _CAND_BROADCAST_MAX else "broadcast"
 
     if method == "join":
         # partition count sized to the session: each hash-join partition is
@@ -375,10 +522,29 @@ def ngram_jaccard_pairs(
             lambda b: _exact_jaccard_batch(b, threshold), batch_format="pyarrow"
         )
 
-    import pyarrow.parquet as pq
+    # broadcast: membership-filter the documents table down to candidate
+    # docs in one streaming pass; only those texts reach the driver
+    cand_ids = set()
+    for b in cands.iter_batches(batch_format="pyarrow"):
+        cand_ids.update(b["doc_a"].to_pylist())
+        cand_ids.update(b["doc_b"].to_pylist())
+    ids_ref = ray.put(cand_ids)
 
-    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    text_ref = ray.put(dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())))
+    def _member(t: pa.Table) -> pa.Table:
+        wanted = ray.get(ids_ref)
+        return t.filter(
+            pa.array([d in wanted for d in t["doc_id"].to_pylist()])
+        )
+
+    text_map: dict[int, str] = {}
+    docs_ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    for b in docs_ds.map_batches(_member, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        text_map.update(zip(b["doc_id"].to_pylist(), b["text"].to_pylist()))
+    text_ref = ray.put(text_map)
 
     def _verify(batch: pa.Table) -> pa.Table:
         texts = ray.get(text_ref)

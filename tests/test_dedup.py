@@ -240,3 +240,33 @@ def test_bucketed_winner_prefilter_matches_driver(ray_session, tmp_path):
         filter_concurrency=1))
     assert driver == bucketed
     assert dict(driver) == {"a": "a3", "b": "b5", "c": "c9", "d": "dN"}
+
+
+def test_minhash_hot_bucket_star_pairs(ray_session, tmp_path):
+    """A near-dup cluster larger than MAX_BUCKET must still come out
+    connected (star pairs around min doc_id) instead of being silently
+    dropped by the old per-bucket cap."""
+    import pyarrow.parquet as pq
+
+    from datacat_ray.pipelines import dedup_ops as DO
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest to hide from every hunter nearby "
+    ) * 4
+    n = DO.MAX_BUCKET + 16  # one mutually-similar cluster, > cap
+    texts = [base + f" tail{i}" for i in range(n)] + [
+        f"totally unrelated document number {i} with its own words {i*7}"
+        for i in range(20)
+    ]
+    t = pa.Table.from_pydict(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    pairs = DO.minhash_candidate_pairs(str(tmp_path), threshold=0.7).to_pandas()
+    # every cluster member must be reachable: star around doc 0 ⇒ all of
+    # 1..n-1 appear in some pair (old code emitted ZERO pairs here)
+    touched = set(pairs["doc_a"]) | set(pairs["doc_b"])
+    assert set(range(n)) <= touched
+    assert len(pairs) >= n - 1
