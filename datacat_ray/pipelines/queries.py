@@ -64,7 +64,9 @@ from datacat_ray.pipelines.text_analysis import (
     TOP_TERMS_SQL,
     corpus_filter,
     fingerprint,
+    fingerprint_sql,
     lang_id,
+    lang_id_sql,
     quality_score,
     redact_pii,
     text_stats,
@@ -322,9 +324,10 @@ def build_oracle_sql() -> dict[str, str]:
         "top_terms": TOP_TERMS_SQL,
         "corpus_filter": CORPUS_FILTER_SQL,
         "redact_pii": REDACT_PII_SQL,
+        "lang_id": lang_id_sql(),
+        "fingerprint": fingerprint_sql(),
         # no oracle (non-SQL-expressible; driver records rows-only):
         #   extract_flagship (cascade), minhash/simhash/ngram/embedding pairs
-        #   (LSH banding), knn_ivf (approximate), lang_id / quality_score /
-        #   fingerprint (custom scalar kernels), image_metadata (binary
-        #   plumbing)
+        #   (LSH banding), knn_ivf (approximate), quality_score (float
+        #   composite), image_metadata (binary plumbing)
     }

@@ -133,6 +133,85 @@ def lang_id(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def lang_id_sql() -> str:
+    """DuckDB mirror of ``lang_id_text``: same 500-char sample, same
+    whitespace split, per-language stopword hit counts, first-in-sorted-
+    order max wins (ties to the lexicographically smaller code), fallback
+    'fr' when nothing hits. Stopword lists are interpolated from the SAME
+    ``_LANG_STOPWORDS`` dict the Ray kernel uses."""
+    langs = sorted(_LANG_STOPWORDS)  # de, en, es, fr
+
+    def inlist(lang: str) -> str:
+        return ", ".join(f"'{w}'" for w in sorted(_LANG_STOPWORDS[lang]))
+
+    hit_cols = ",\n               ".join(
+        f"SUM(CASE WHEN w IN ({inlist(l)}) THEN 1 ELSE 0 END) AS {l}"
+        for l in langs
+    )
+    # first-max-in-sorted-order: lang L wins iff hits(L) > 0, strictly
+    # beats every earlier lang and ties-or-beats every later one
+    cases = []
+    for i, l in enumerate(langs[:-1]):
+        conds = [f"h.{l} > 0"]
+        conds += [f"h.{l} > h.{e}" for e in langs[:i]]
+        conds += [f"h.{l} >= h.{e}" for e in langs[i + 1:]]
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{l}'")
+    return f"""
+        WITH w AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(
+                       lower(substring(coalesce(text, ''), 1, {_SAMPLE_CHARS})),
+                       '\\s+')) AS w
+            FROM documents
+        ),
+        h AS (
+            SELECT doc_id,
+               {hit_cols}
+            FROM w GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CASE {' '.join(cases)} ELSE '{_LANG_FALLBACK}' END AS lang_pred
+        FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+    """
+
+
+def fingerprint_sql() -> str:
+    """DuckDB mirror of ``doc_fingerprint``: per-token FNV-1a over UTF-8
+    bytes (hex-decoded from the encoded blob), chained with
+    xor → ×prime → rotate-left-7, all in HUGEINT mod 2^64 (DuckDB BIGINT
+    multiplication would overflow-error instead of wrapping). The rotate
+    uses +, valid because the shifted halves are bit-disjoint."""
+    m = "18446744073709551616"  # 2^64
+    prime = "1099511628211"
+    off = "CAST(14695981039346656037 AS HUGEINT)"
+    fnv_t = f"""list_reduce(
+              list_prepend({off},
+                list_transform(range(1, octet_length(encode(t))+1),
+                  i -> CAST(CAST(concat('0x',
+                       substring(hex(encode(t)), 2*i-1, 2)) AS INT) AS HUGEINT))),
+              (h, b) -> (xor(h, b) * {prime}) % {m})"""
+    step = f"((xor(h, f) * {prime}) % {m})"
+    return f"""
+        SELECT doc_id,
+               CAST(CASE WHEN h >= 9223372036854775808
+                         THEN h - {m} ELSE h END AS BIGINT) AS fingerprint
+        FROM (
+            SELECT doc_id,
+                   list_reduce(
+                       list_prepend({off},
+                           list_transform(
+                               list_filter(
+                                   regexp_split_to_array(
+                                       lower(coalesce(text, '')), '\\s+'),
+                                   t -> t <> ''),
+                               t -> {fnv_t})),
+                       (h, f) -> (({step} * 128) % {m})
+                                 + ({step} // 144115188075855872)
+                   ) AS h
+            FROM documents)
+    """
+
+
 # ---------------------------------------------------------------------------
 # top-k terms (word count with map-side combiner)
 # ---------------------------------------------------------------------------
