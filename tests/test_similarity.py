@@ -1,0 +1,54 @@
+"""Similarity-search operators (ANN baseline + IVF index)."""
+
+
+def test_ivf_index_partition_pruned(ray_session, tmp_path):
+    """knn_ivf must be a real index: centroid-trained bucket-partitioned
+    layout on disk, the probe reading only the top-nprobe partitions,
+    results exact within the probed cells."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from datacat_ray.pipelines import similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    idx = S.build_ivf_index(sf, str(tmp_path / "ivf"))
+    dirs = {d for d in os.listdir(idx) if d.startswith("bucket=")}
+    assert len(dirs) > S.IVF_NPROBE  # more cells than the probe set
+
+    out = S.ivf_topk(sf, query_vec_id=0, k=10, index_dir=idx)
+    assert out.num_rows == 10
+
+    # reference computation: exact top-k restricted to the probe cells
+    cent = np.load(os.path.join(idx, "centroids.npy"))
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    ids = np.array(t["vec_id"].to_pylist())
+    embs = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(embs, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit = embs / norms
+    q = unit[list(ids).index(0)]
+    probe = set(np.argsort(-(cent @ q))[: S.IVF_NPROBE].tolist())
+    m = np.isin(S.ivf_bucket_of(unit, cent), list(probe)) & (ids != 0)
+    sims = unit[m] @ q
+    order = sorted(zip(-sims, ids[m]))[:10]
+    assert out["vec_id"].to_pylist() == [int(v) for _, v in order]
+
+
+def test_ivf_recall_vs_brute_force(ray_session, tmp_path):
+    """Probing 4/32 cells (12.5% of the data), centroid IVF must recover
+    far more of the true top-10 than the 12.5% a random read would. The
+    driver embeddings are near-uniform random (top-10 cosines ~0.3), so
+    absolute recall is data-limited; measured averages are ~0.5 here and
+    recorded in BASELINE.md."""
+    from datacat_ray.pipelines import similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "ivf2")
+    recalls = []
+    for q in range(6):
+        bf = set(S.brute_force_topk(sf, q, 10)["vec_id"].to_pylist())
+        iv = set(S.ivf_topk(sf, q, 10, index_dir=idx)["vec_id"].to_pylist())
+        recalls.append(len(bf & iv) / 10)
+    assert sum(recalls) / len(recalls) >= 0.3
