@@ -83,14 +83,23 @@ def cmd_query(args) -> int:
 def cmd_refeval(args) -> int:
     """Reproduce the reference's train/eval loop on its own committed
     corpus (same raw features + CRF++ template; perceptron estimator) and
-    print the eval.txt-style report."""
+    print the eval.txt-style report. ``--weights wapiti`` instead decodes
+    the eval split with the reference's SHIPPED trained model (weight-level
+    parity, body model only)."""
     _init_ray(args.num_cpus)
     from datacat_ray.pipelines.reference_eval import (
         reference_body_train_eval,
+        reference_body_wapiti_eval,
         reference_train_eval,
     )
 
-    if args.model == "body":
+    if getattr(args, "weights", "train") == "wapiti":
+        if args.model != "body":
+            print("--weights wapiti requires --model body "
+                  "(the segmenter blob is LFS-missing in the reference)")
+            return 2
+        _, report = reference_body_wapiti_eval()
+    elif args.model == "body":
         _, report = reference_body_train_eval(epochs=args.epochs)
     else:
         _, report = reference_train_eval(
@@ -139,6 +148,7 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser("refeval", help=cmd_refeval.__doc__)
     p.add_argument("--model", choices=["segmenter", "body"], default="segmenter")
+    p.add_argument("--weights", choices=["train", "wapiti"], default="train")
     p.add_argument("--train-docs", type=int, default=120)
     p.add_argument("--epochs", type=int, default=6)
     p.add_argument("--shards", type=int, default=1)

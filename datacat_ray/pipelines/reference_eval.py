@@ -152,6 +152,41 @@ def reference_body_train_eval(epochs: int = 6) -> tuple[pa.Table, str]:
     return metrics, format_eval_report(metrics, accuracy_total=len(golds))
 
 
+BODY_WAPITI_MODEL = (
+    "/root/reference/resources/models/datacat-body-segmentation/model.wapiti"
+)
+
+
+def reference_body_wapiti_eval() -> tuple[pa.Table, str]:
+    """WEIGHT-LEVEL parity: label the committed evaluation raw files with
+    the reference's OWN shipped Wapiti weights (the exact model
+    ``DatacatBodySegmentationParser.java:63-67`` loads), decoded by the
+    engine's Wapiti reader/Viterbi (``stages/wapiti.py``) — no training
+    involved. Gold comes from the committed TEI via the same alignment as
+    the train/eval loop; IOB predictions are flattened to the engine's
+    token labels (``<note>``→``<other>`` convention on the gold side)."""
+    import ray.data
+
+    from datacat_ray.pipelines.training import eval_metrics, format_eval_report
+    from datacat_ray.stages.wapiti import (
+        iob_to_flat,
+        load_wapiti_model,
+        wapiti_viterbi,
+    )
+
+    model = load_wapiti_model(BODY_WAPITI_MODEL)
+    golds: list[str] = []
+    preds: list[str] = []
+    for _, feats, gold in load_body_pairs("evaluation"):
+        rows = [[d[f] for f in BODY_FIELDS] for d in feats]
+        pred = [iob_to_flat(lb) for lb in wapiti_viterbi(model, rows)]
+        golds.extend(gold)
+        preds.extend(pred)
+    pairs = ray.data.from_arrow(pa.table({"gold": golds, "pred": preds}))
+    metrics = eval_metrics(pairs)
+    return metrics, format_eval_report(metrics, accuracy_total=len(golds))
+
+
 def nfold_eval(
     n_folds: int = 5, docs: int = 40, epochs: int = 3
 ) -> list[float]:
