@@ -1,38 +1,47 @@
 """Multimodal column plumbing (training-data ops).
 
-Image/audio payloads are opaque ``binary`` columns with typed metadata; the
-decode / feature-extract kernels are STUBBED (no imaging/audio libraries in
-this environment — clearly marked below), but every piece of Ray-side
-plumbing is real and tested: schema, actor-pool signature, per-actor init,
-small batch sizes for wide binary rows, and the output layout.
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata, processed by actor-pool ``map_batches`` stages (per-actor init,
+small batches for wide binary rows, typed output schema).
 
-The synthetic payloads carry a parseable 16-byte header
-(magic ``DCRI``, width, height, channels) so header-parse metadata is real
-even though pixel decode is faked.
+IMAGES are fully real: fixtures emit genuine PNG bytes and the decode
+stage inflates them with the pure-stdlib codec (``functions/png.py``) and
+derives pixel statistics (mean luma). Audio PCM / video frame decode
+remain clearly-marked STUB seams (no audio/video codec exists in this
+environment) around real plumbing.
 """
 
 from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 
 import numpy as np
 import pyarrow as pa
 
 import ray.data
 
-_MAGIC = b"DCRI"
-_HEADER = struct.Struct("<4sIII")  # magic, width, height, channels
+from datacat_ray.functions.png import decode_png, encode_png
 
 
 def make_fake_image(seed: int) -> bytes:
-    """Deterministic fake image payload: real header + pseudo-random body."""
+    """Deterministic REAL PNG payload: seeded gradient + noise RGB image
+    (small sizes — fixture cost, not realism, bounds them)."""
     rng = np.random.RandomState(seed & 0x7FFFFFFF)
-    w = int(rng.randint(64, 512))
-    h = int(rng.randint(64, 512))
-    c = 3
-    body = rng.bytes(min(w * h // 16, 4096))
-    return _HEADER.pack(_MAGIC, w, h, c) + body
+    w = int(rng.randint(32, 96))
+    h = int(rng.randint(32, 96))
+    x = np.linspace(0, 255, w, dtype=np.float64)[None, :]
+    y = np.linspace(0, 255, h, dtype=np.float64)[:, None]
+    arr = np.stack(
+        [
+            np.broadcast_to(x, (h, w)),
+            np.broadcast_to(y, (h, w)),
+            rng.randint(0, 256, size=(h, w)).astype(np.float64),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    return encode_png(arr)
 
 
 def synth_images_dataset(sf_dir: str) -> "ray.data.Dataset":
@@ -52,42 +61,46 @@ def synth_images_dataset(sf_dir: str) -> "ray.data.Dataset":
     return ds.map_batches(_mk, batch_format="pyarrow")
 
 
-class ImageDecoder:
-    """Actor-pool stage: decode + feature-extract image payloads.
+_LUMA = np.array([0.299, 0.587, 0.114])
 
-    ``__init__`` is where a real deployment loads the codec / model ONCE per
-    actor (the warm-state pattern, SURVEY.md ST1). Here it only prepares the
-    header parser; ``decode_pixels`` is the STUB seam."""
+
+class ImageDecoder:
+    """Actor-pool stage: REAL PNG decode + pixel feature extraction.
+
+    ``__init__`` is where a heavier deployment loads its codec / model ONCE
+    per actor (the warm-state pattern, SURVEY.md ST1); the stdlib PNG codec
+    needs no warm state but the seam stays."""
 
     def __init__(self) -> None:
-        self.header = _HEADER  # real codec/model load goes here
+        self.decode = decode_png  # real codec/model load goes here
 
     @staticmethod
     def decode_pixels(payload: bytes) -> "np.ndarray":
-        """STUB: pixel decode needs an imaging library absent from this
-        environment. The deterministic stand-in below keeps the downstream
-        plumbing (shapes, dtypes) real; swap for PIL/cv2 in production."""
-        raise NotImplementedError(
-            "pixel decode requires an imaging library (PIL/cv2) — "
-            "not available in this environment"
-        )
+        """PNG bytes → uint8 (h, w, c) via the pure-stdlib codec."""
+        return decode_png(payload)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["image"].to_pylist()
-        widths, heights, channels, n_bytes, sha8, valid = [], [], [], [], [], []
+        widths, heights, channels, n_bytes, sha8 = [], [], [], [], []
+        luma, valid = [], []
         for p in payloads:
             n_bytes.append(len(p) if p else 0)
             sha8.append(hashlib.sha256(p or b"").hexdigest()[:16])
-            if p and len(p) >= _HEADER.size and p[:4] == _MAGIC:
-                _, w, h, c = _HEADER.unpack_from(p)
+            try:
+                px = self.decode_pixels(p)
+                h, w, c = px.shape
+                rgb = px[:, :, :3] if c >= 3 else px.repeat(3, axis=2)[:, :, :3]
+                mean_luma = float((rgb.astype(np.float64) @ _LUMA).mean())
                 widths.append(w)
                 heights.append(h)
                 channels.append(c)
+                luma.append(round(mean_luma, 6))
                 valid.append(True)
-            else:
+            except (ValueError, zlib.error, struct.error):
                 widths.append(0)
                 heights.append(0)
                 channels.append(0)
+                luma.append(0.0)
                 valid.append(False)
         return pa.Table.from_pydict(
             {
@@ -97,6 +110,7 @@ class ImageDecoder:
                 "channels": pa.array(channels, type=pa.int32()),
                 "n_bytes": pa.array(n_bytes, type=pa.int64()),
                 "sha8": pa.array(sha8, type=pa.string()),
+                "mean_luma": pa.array(luma, type=pa.float64()),
                 "valid": pa.array(valid, type=pa.bool_()),
             }
         )

@@ -1,5 +1,5 @@
-"""Multimodal binary-column plumbing: header parse, actor-pool signature,
-stubbed decode seams (SURVEY.md training-data ops — image/audio)."""
+"""Multimodal binary-column plumbing: real PNG decode, actor-pool
+signature, stubbed audio/video decode seams (SURVEY.md training-data ops)."""
 
 from __future__ import annotations
 
@@ -24,13 +24,69 @@ def test_image_header_roundtrip():
     valid = out["valid"].to_pylist()
     assert valid == [True] * 5 + [False, False]
     assert all(w > 0 for w in out["width"].to_pylist()[:5])
+    # pixel-derived stat present and sane (mean luma of an 8-bit image)
+    assert all(0 < l < 255 for l in out["mean_luma"].to_pylist()[:5])
     # deterministic: same seed → same payload → same sha
     assert make_fake_image(3) == make_fake_image(3)
 
 
-def test_image_decode_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        ImageDecoder.decode_pixels(make_fake_image(0))
+def test_png_codec_byte_exact():
+    """Pure-stdlib PNG round-trip: decode(encode(x)) == x for grey, RGB
+    and RGBA; junk rejected; filtered rows reconstruct correctly."""
+    import numpy as np
+
+    from datacat_ray.functions.png import _chunk, decode_png, encode_png
+
+    rng = np.random.RandomState(7)
+    for shape in [(5, 9), (11, 4, 3), (6, 6, 4)]:
+        arr = rng.randint(0, 256, size=shape).astype(np.uint8)
+        out = decode_png(encode_png(arr))
+        want = arr[:, :, None] if arr.ndim == 2 else arr
+        assert (out == want).all()
+    with pytest.raises(ValueError):
+        decode_png(b"junk")
+
+    # hand-build an IDAT exercising Sub(1), Up(2), Average(3), Paeth(4)
+    import struct
+    import zlib
+
+    w, h = 4, 5
+    rows = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+    raw = bytearray()
+    prev = np.zeros(w * 3, dtype=np.int32)
+    for r, ft in enumerate([0, 1, 2, 3, 4]):
+        cur = rows[r].reshape(-1).astype(np.int32)
+        if ft == 0:
+            enc = cur
+        elif ft == 1:
+            enc = cur.copy()
+            enc[3:] = (cur[3:] - cur[:-3]) % 256
+        elif ft == 2:
+            enc = (cur - prev) % 256
+        elif ft == 3:
+            enc = cur.copy()
+            for i in range(w * 3):
+                left = cur[i - 3] if i >= 3 else 0
+                enc[i] = (cur[i] - ((left + prev[i]) >> 1)) % 256
+        else:
+            from datacat_ray.functions.png import _paeth
+
+            enc = cur.copy()
+            for i in range(w * 3):
+                left = int(cur[i - 3]) if i >= 3 else 0
+                ul = int(prev[i - 3]) if i >= 3 else 0
+                enc[i] = (cur[i] - _paeth(left, int(prev[i]), ul)) % 256
+        raw += bytes([ft]) + bytes(enc.astype(np.uint8))
+        prev = cur
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (sig + _chunk(b"IHDR", ihdr)
+           + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+           + _chunk(b"IEND", b""))
+    assert (decode_png(png) == rows).all()
+
+
+def test_audio_video_decode_are_stubbed():
     with pytest.raises(NotImplementedError):
         AudioFrameSampler.decode_samples(make_fake_audio(0))
 
