@@ -114,30 +114,44 @@ def top_orders(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
     return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
 
 
+_DIM_CACHE: dict[str, object] = {}
+
+
+def _cached_dim(ref) -> pa.Table:
+    """Per-worker cache of a broadcast dimension table (one deserialization
+    per worker, not one per batch)."""
+    k = ref.hex()
+    t = _DIM_CACHE.get(k)
+    if t is None:
+        _DIM_CACHE.clear()
+        t = _DIM_CACHE[k] = ray.get(ref)
+    return t
+
+
+def _broadcast_inner_join(t: pa.Table, dim: pa.Table, key: str) -> pa.Table:
+    """Vectorized batch ⋈ broadcast-dim inner join (polars hash join — no
+    per-row Python lookup)."""
+    import polars as pl
+
+    left = pl.from_arrow(t.replace_schema_metadata(None))
+    right = pl.from_arrow(dim.replace_schema_metadata(None))
+    return left.join(right, on=key, how="inner").to_arrow()
+
+
 def revenue_by_segment(sf_dir: str) -> "ray.data.Dataset":
     """Broadcast hash join: orders ⋈ customer (small side shipped once via
-    ``ray.put``, looked up per batch — no shuffle join), then groupby
-    mktsegment."""
+    ``ray.put``, hash-joined vectorized per batch — no shuffle join), then
+    groupby mktsegment."""
     import pyarrow.parquet as pq
 
     cust = pq.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-    )
-    seg_of = dict(
-        zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())
-    )
-    seg_ref = ray.put(seg_of)
+    ).rename_columns(["o_custkey", "c_mktsegment"])
+    seg_ref = ray.put(cust)
 
     def _join(t: pa.Table) -> pa.Table:
-        lookup = ray.get(seg_ref)
-        segs = [lookup.get(ck) for ck in t["o_custkey"].to_pylist()]
-        out = pa.Table.from_pydict(
-            {
-                "c_mktsegment": pa.array(segs, type=pa.string()),
-                "o_totalprice": t["o_totalprice"],
-            }
-        )
-        return out.filter(pc.is_valid(out["c_mktsegment"]))
+        joined = _broadcast_inner_join(t, _cached_dim(seg_ref), "o_custkey")
+        return joined.select(["c_mktsegment", "o_totalprice"])
 
     ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     ds = ds.map_batches(_join, batch_format="pyarrow")
@@ -365,26 +379,28 @@ def revenue_by_region_nation(sf_dir: str) -> "ray.data.Dataset":
     n_name = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
     n_reg = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_regionkey"].to_pylist()))
     r_name = dict(zip(reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist()))
-    lookup = {
-        sk: (r_name[n_reg[nk]], n_name[nk])
-        for sk, nk in zip(sup["s_suppkey"].to_pylist(), sup["s_nationkey"].to_pylist())
-    }
-    ref = ray.put(lookup)
+    # compose the 3-level dim cascade into ONE (suppkey → region, nation)
+    # table on the driver (supplier/nation/region are tiny), broadcast once
+    sks = sup["s_suppkey"].to_pylist()
+    nks = sup["s_nationkey"].to_pylist()
+    dim = pa.Table.from_pydict(
+        {
+            "l_suppkey": pa.array(sks, pa.int64()),
+            "r_name": pa.array([r_name[n_reg[nk]] for nk in nks], pa.string()),
+            "n_name": pa.array([n_name[nk] for nk in nks], pa.string()),
+        }
+    )
+    ref = ray.put(dim)
 
     def _join(t: pa.Table) -> pa.Table:
-        lk = ray.get(ref)
-        pairs = [lk.get(s) for s in t["l_suppkey"].to_pylist()]
         rev = pc.multiply(
             t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
         )
-        out = pa.Table.from_pydict(
-            {
-                "r_name": pa.array([p[0] if p else None for p in pairs], pa.string()),
-                "n_name": pa.array([p[1] if p else None for p in pairs], pa.string()),
-                "revenue": rev,
-            }
+        fact = pa.Table.from_pydict(
+            {"l_suppkey": t["l_suppkey"], "revenue": rev}
         )
-        return out.filter(pc.is_valid(out["r_name"]))
+        joined = _broadcast_inner_join(fact, _cached_dim(ref), "l_suppkey")
+        return joined.select(["r_name", "n_name", "revenue"])
 
     def _join_partial(t: pa.Table) -> pa.Table:
         return _join(t).group_by(["r_name", "n_name"]).aggregate(
