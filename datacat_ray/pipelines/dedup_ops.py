@@ -83,6 +83,55 @@ def latest_events(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def duplicate_clusters(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, cluster_id) for EVERY doc: cluster_id = min doc_id among
+    byte-identical texts (the assignment view of exact dedup — what a
+    training-data pipeline joins back to pick canonical docs).
+
+    Shape: content hash per batch, ONE shuffle on an int bucket of the
+    hash, then a vectorized min-per-run kernel over the sorted bucket —
+    no per-key Python calls (stages/bucketed.py pattern)."""
+    import pyarrow.compute as _pc
+
+    from datacat_ray.stages.bucketed import add_bucket, sorted_key_bounds
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def _hash(b: pa.Table) -> pa.Table:
+        return add_bucket(_content_hash_batch(b), "text_hash")
+
+    def _assign(g: pa.Table) -> pa.Table:
+        order = _pc.sort_indices(
+            g, sort_keys=[("text_hash", "ascending"), ("doc_id", "ascending")]
+        )
+        h = _pc.take(g["text_hash"], order).combine_chunks().to_numpy()
+        d = _pc.take(g["doc_id"], order).combine_chunks().to_numpy()
+        starts = sorted_key_bounds(h)
+        if len(starts) == 0:
+            return pa.Table.from_pydict(
+                {"doc_id": pa.array([], pa.int64()),
+                 "cluster_id": pa.array([], pa.int64())}
+            )
+        counts = np.diff(np.append(starts, len(h)))
+        cluster = np.repeat(d[starts], counts)  # min doc_id per run
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(d), "cluster_id": pa.array(cluster)}
+        )
+
+    ds = ds.map_batches(_hash, batch_format="pyarrow")
+    return ds.groupby("__bucket").map_groups(
+        lambda g: _assign(g.drop_columns(["__bucket"])), batch_format="pyarrow"
+    )
+
+
+DUPLICATE_CLUSTERS_SQL = """
+    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS cluster_id
+    FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -26,6 +26,8 @@ import ray.data
 from datacat_ray.config import PipelineConfig
 from datacat_ray.fixtures import pages_from_documents
 from datacat_ray.pipelines.dedup_ops import (
+    DUPLICATE_CLUSTERS_SQL,
+    duplicate_clusters,
     embedding_neardup_pairs,
     exact_dedup,
     latest_events,
@@ -38,19 +40,25 @@ from datacat_ray.pipelines.multimodal import image_metadata
 from datacat_ray.pipelines.multimodal import audio_frames, video_frames
 from datacat_ray.pipelines.relational import (
     ASOF_PURCHASE_SQL,
+    ORDER_LINEITEM_JOIN_SQL,
     REVENUE_BY_REGION_NATION_SQL,
+    ROLLING_USER_REVENUE_SQL,
     SHIP_CUTOFF,
+    VALUE_PERCENTILES_SQL,
     asof_purchase_attribution,
     distinct_event_types,
     revenue_by_region_nation,
     docs_by_lang,
     events_per_user_day,
     filter_project,
+    order_lineitem_join,
     pricing_summary,
     revenue_by_segment,
+    rolling_user_revenue,
     top_orders,
     user_sessions,
     user_sessions_sql,
+    value_percentiles,
 )
 from datacat_ray.pipelines.sketches import approx_distinct_users
 from datacat_ray.pipelines.similarity import (
@@ -61,7 +69,9 @@ from datacat_ray.pipelines.similarity import (
 from datacat_ray.pipelines.text_analysis import (
     CORPUS_FILTER_SQL,
     REDACT_PII_SQL,
+    TOKEN_COUNT_BPE_SQL,
     TOP_TERMS_SQL,
+    token_count_bpe,
     corpus_filter,
     fingerprint,
     fingerprint_sql,
@@ -183,9 +193,13 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_region_nation": revenue_by_region_nation,
         "approx_distinct_users": approx_distinct_users,
         "docs_by_lang": docs_by_lang,
+        "rolling_user_revenue": rolling_user_revenue,
+        "value_percentiles": value_percentiles,
+        "order_lineitem_join": order_lineitem_join,
         # dedup family (D1 + training-data ops)
         "latest_events": latest_events,
         "exact_dedup": exact_dedup,
+        "duplicate_clusters": duplicate_clusters,
         "minhash_pairs": lambda sf: minhash_candidate_pairs(sf, threshold=0.7),
         "simhash_pairs": lambda sf: simhash_pairs(sf, max_hamming=3),
         "ngram_jaccard_pairs": lambda sf: ngram_jaccard_pairs(sf, threshold=0.6),
@@ -196,6 +210,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "knn_multi_query": lambda sf: multi_query_topk(sf, (0, 1, 2, 3), k=5),
         # text analysis
         "token_count": token_count,
+        "token_count_bpe": token_count_bpe,
         "text_stats": text_stats,
         "top_terms": lambda sf: top_terms(sf, k=20),
         "corpus_filter": corpus_filter,
@@ -326,6 +341,11 @@ def build_oracle_sql() -> dict[str, str]:
         "redact_pii": REDACT_PII_SQL,
         "lang_id": lang_id_sql(),
         "fingerprint": fingerprint_sql(),
+        "duplicate_clusters": DUPLICATE_CLUSTERS_SQL,
+        "token_count_bpe": TOKEN_COUNT_BPE_SQL,
+        "rolling_user_revenue": ROLLING_USER_REVENUE_SQL,
+        "value_percentiles": VALUE_PERCENTILES_SQL,
+        "order_lineitem_join": ORDER_LINEITEM_JOIN_SQL,
         # no oracle (non-SQL-expressible; driver records rows-only):
         #   extract_flagship (cascade), minhash/simhash/ngram/embedding pairs
         #   (LSH banding), knn_ivf (approximate), quality_score (float

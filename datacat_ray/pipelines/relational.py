@@ -432,6 +432,208 @@ REVENUE_BY_REGION_NATION_SQL = """
 """
 
 
+def rolling_user_revenue(sf_dir: str) -> "ray.data.Dataset":
+    """Trailing-window aggregate (an operator Ray Data lacks; custom-op
+    path (a)): per (user_id, day), the event count and value sum over the
+    trailing 7 days. Values are scaled to int cents BEFORE any summation so
+    both sides add exact integers (float window sums are order-dependent).
+
+    Shape: per-batch partial (user, day) aggregation fused with the
+    projection, ONE hash shuffle on an int bucket of user_id, then a
+    vectorized whole-bucket kernel: combine partial runs with
+    ``np.add.reduceat``, then one composite-key ``searchsorted`` finds each
+    row's window start and prefix sums give the window totals. O(buckets)
+    Python calls."""
+    import numpy as np
+
+    from datacat_ray.stages.bucketed import add_bucket, sorted_key_bounds
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    _DAY_SPAN = 1 << 20  # composite key stride (day ints are ~2*10^4)
+
+    def _daily_partial(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.date32())
+        cents = pc.cast(pc.round(pc.multiply(t["value"], pa.scalar(100.0))),
+                        pa.int64())
+        p = pa.Table.from_pydict(
+            {"user_id": t["user_id"],
+             "day": pc.cast(day, pa.int32()),
+             "cents": cents}
+        ).group_by(["user_id", "day"]).aggregate(
+            [("cents", "sum"), ([], "count_all")]
+        )
+        return add_bucket(p, "user_id")
+
+    def _window_bucket(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[("user_id", "ascending"), ("day", "ascending")]
+        )
+        uid = pc.take(g["user_id"], order).combine_chunks().to_numpy()
+        day = pc.take(g["day"], order).combine_chunks().to_numpy().astype(np.int64)
+        cents = pc.take(g["cents_sum"], order).combine_chunks().to_numpy()
+        n = pc.take(g["count_all"], order).combine_chunks().to_numpy()
+        if len(uid) == 0:
+            return pa.Table.from_pydict(
+                {"user_id": pa.array([], pa.int64()),
+                 "day": pa.array([], pa.string()),
+                 "n_7d": pa.array([], pa.int64()),
+                 "sum_7d_cents": pa.array([], pa.int64())}
+            )
+        # combine same-(user, day) partials from different input batches
+        _, ucode = np.unique(uid, return_inverse=True)
+        comp = ucode.astype(np.int64) * _DAY_SPAN + day
+        starts = sorted_key_bounds(comp)
+        comp_u = comp[starts]
+        cents_u = np.add.reduceat(cents, starts)
+        n_u = np.add.reduceat(n, starts)
+        uid_u, day_u = uid[starts], day[starts]
+        # trailing window: first index with comp >= (user, day-6)
+        lo = np.searchsorted(comp_u, comp_u - 6, side="left")
+        cs_c = np.concatenate([[0], np.cumsum(cents_u)])
+        cs_n = np.concatenate([[0], np.cumsum(n_u)])
+        idx = np.arange(len(comp_u))
+        out_day = [
+            (np.datetime64("1970-01-01") + np.timedelta64(int(d), "D"))
+            .astype(str) for d in day_u
+        ]
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(uid_u, type=pa.int64()),
+                "day": pa.array(out_day, type=pa.string()),
+                "n_7d": pa.array(cs_n[idx + 1] - cs_n[lo], type=pa.int64()),
+                "sum_7d_cents": pa.array(cs_c[idx + 1] - cs_c[lo],
+                                         type=pa.int64()),
+            }
+        )
+
+    ds = ds.map_batches(_daily_partial, batch_format="pyarrow")
+    return ds.groupby("__bucket").map_groups(
+        lambda g: _window_bucket(g.drop_columns(["__bucket"])),
+        batch_format="pyarrow",
+    )
+
+
+ROLLING_USER_REVENUE_SQL = """
+    WITH d AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               COUNT(*) AS n,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+        FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           CAST(SUM(n) OVER w AS BIGINT) AS n_7d,
+           CAST(SUM(cents) OVER w AS BIGINT) AS sum_7d_cents
+    FROM d
+    WINDOW w AS (PARTITION BY user_id ORDER BY day
+                 RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+"""
+
+
+def value_percentiles(sf_dir: str) -> "ray.data.Dataset":
+    """Per-event-type exact p50/p95 of value (linear interpolation — the
+    same formula as DuckDB ``quantile_cont`` and ``np.percentile``).
+    ``groupby(event_type).map_groups`` is fine HERE because the key space
+    is a small closed vocabulary (5 event types), not a data-scaled key —
+    the per-key-UDF hazard applies to unbounded keys."""
+    import numpy as np
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def _pct(g: pa.Table) -> pa.Table:
+        v = g["value"].combine_chunks().to_numpy()
+        p50, p95 = np.percentile(v, [50, 95], method="linear")
+        return pa.Table.from_pydict(
+            {
+                "event_type": [g["event_type"][0].as_py()],
+                "p50_micros": pa.array([round(p50 * 1e6)], pa.int64()),
+                "p95_micros": pa.array([round(p95 * 1e6)], pa.int64()),
+                "n": pa.array([g.num_rows], pa.int64()),
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(_pct, batch_format="pyarrow")
+
+
+VALUE_PERCENTILES_SQL = """
+    SELECT event_type,
+           CAST(ROUND(quantile_cont(value, 0.5) * 1000000) AS BIGINT)
+               AS p50_micros,
+           CAST(ROUND(quantile_cont(value, 0.95) * 1000000) AS BIGINT)
+               AS p95_micros,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+"""
+
+
+def order_lineitem_join(sf_dir: str) -> "ray.data.Dataset":
+    """Big-big SHUFFLE hash join (``Dataset.join``): per-order lineitem
+    revenue joined to the orders table — the one join family where neither
+    side broadcasts. The lineitem side is pre-aggregated per orderkey with
+    a map-side combiner BEFORE the join, so the exchange moves one row per
+    order, not one per item. Join partitions sized to CPUs/2 (aggregator
+    actors reserve a core each — two 16-partition joins deadlock a 4-CPU
+    session, measured)."""
+    import numpy as np
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def _rev_partial(t: pa.Table) -> pa.Table:
+        # item-level int cents FIRST (floor(x+0.5) — both engines compute
+        # the identical double, so the tie behavior matches; summing AFTER
+        # rounding keeps the aggregate exact integers, where rounding a
+        # float sum flips half-to-even vs half-away ties per association)
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        ).to_numpy(zero_copy_only=False)
+        cents = np.floor(rev * 100.0 + 0.5).astype(np.int64)
+        return pa.Table.from_pydict(
+            {"o_orderkey": t["l_orderkey"],
+             "cents": pa.array(cents)}
+        ).group_by(["o_orderkey"]).aggregate(
+            [("cents", "sum"), ([], "count_all")]
+        )
+
+    per_order = (
+        li.map_batches(_rev_partial, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(
+            Sum("cents_sum", alias_name="revenue_cents"),
+            Sum("count_all", alias_name="n_items"),
+        )
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    n_parts = max(2, min(16, int(ray.cluster_resources().get("CPU", 8)) // 2))
+    joined = orders.join(per_order, "inner", n_parts, on=("o_orderkey",))
+
+    def _project(t: pa.Table) -> pa.Table:
+        tp = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_totalprice_cents": pa.array(
+                    np.floor(tp * 100.0 + 0.5).astype(np.int64)),
+                "revenue_cents": t["revenue_cents"],
+                "n_items": t["n_items"],
+            }
+        )
+
+    return joined.map_batches(_project, batch_format="pyarrow")
+
+
+ORDER_LINEITEM_JOIN_SQL = """
+    SELECT o_orderkey,
+           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+               AS o_totalprice_cents,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents,
+           COUNT(*) AS n_items
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey, o_totalprice
+"""
+
+
 def docs_by_lang(sf_dir: str) -> "ray.data.Dataset":
     """Documents per lang with char-length stats (SQL-checkable)."""
     ds = _read(sf_dir, "documents", ["lang", "n_chars"])

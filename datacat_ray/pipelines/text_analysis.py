@@ -69,6 +69,41 @@ def token_count(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+# BPE-ish pre-tokenization: letter runs, single digits, single symbols —
+# the GPT-2-style split shape, RE2-compatible so DuckDB runs the SAME regex
+BPE_SPLIT_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+_BPE_RE = re.compile(BPE_SPLIT_PATTERN)
+
+
+def _bpe_count_batch(batch: pa.Table) -> pa.Table:
+    counts = [
+        len(_BPE_RE.findall(t or "")) for t in batch["text"].to_pylist()
+    ]
+    return pa.Table.from_pydict(
+        {"doc_id": batch["doc_id"],
+         "n_bpe_tokens": pa.array(counts, type=pa.int64())}
+    )
+
+
+def token_count_bpe(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, n_bpe_tokens): GPT-2-style pre-tokenizer unit count (letter
+    runs / single digits / single symbols) — the LLM-training token
+    estimate, vs the whitespace count of ``token_count``. The oracle runs
+    the IDENTICAL RE2 pattern via regexp_extract_all."""
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        _bpe_count_batch, batch_format="pyarrow"
+    )
+
+
+TOKEN_COUNT_BPE_SQL = f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(coalesce(text, ''),
+                '{BPE_SPLIT_PATTERN.replace("'", "''")}')) AS BIGINT)
+               AS n_bpe_tokens
+    FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # text stats (SQL-checkable integer counts)
 # ---------------------------------------------------------------------------

@@ -37,7 +37,9 @@ def add_bucket(
     t = t.replace_schema_metadata(None)
     col = t[key]
     if pa.types.is_integer(col.type):
-        k = pc.cast(col, pa.uint64()).to_numpy(zero_copy_only=False)
+        # view-cast via numpy: negative int64 keys (e.g. signed content
+        # hashes) must wrap, not overflow-error as pc.cast would
+        k = col.combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
         h = (k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
         b = (h % np.uint64(n_buckets)).astype(np.int32)
     else:
