@@ -53,6 +53,8 @@ from datacat_ray.pipelines.relational import (
     filter_project,
     order_lineitem_join,
     pricing_summary,
+    top_orders_by_segment,
+    top_orders_by_segment_sql,
     revenue_by_segment,
     rolling_user_revenue,
     top_orders,
@@ -70,8 +72,14 @@ from datacat_ray.pipelines.text_analysis import (
     CORPUS_FILTER_SQL,
     REDACT_PII_SQL,
     TOKEN_COUNT_BPE_SQL,
+    TOP_BIGRAMS_SQL,
     TOP_TERMS_SQL,
+    decontaminate,
+    decontaminate_sql,
+    stratified_sample,
+    stratified_sample_sql,
     token_count_bpe,
+    top_bigrams,
     corpus_filter,
     fingerprint,
     fingerprint_sql,
@@ -196,6 +204,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "rolling_user_revenue": rolling_user_revenue,
         "value_percentiles": value_percentiles,
         "order_lineitem_join": order_lineitem_join,
+        "top_orders_by_segment": top_orders_by_segment,
         # dedup family (D1 + training-data ops)
         "latest_events": latest_events,
         "exact_dedup": exact_dedup,
@@ -211,6 +220,9 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "token_count": token_count,
         "token_count_bpe": token_count_bpe,
+        "top_bigrams": lambda sf: top_bigrams(sf, k=20),
+        "decontaminate": decontaminate,
+        "stratified_sample": stratified_sample,
         "text_stats": text_stats,
         "top_terms": lambda sf: top_terms(sf, k=20),
         "corpus_filter": corpus_filter,
@@ -346,6 +358,10 @@ def build_oracle_sql() -> dict[str, str]:
         "rolling_user_revenue": ROLLING_USER_REVENUE_SQL,
         "value_percentiles": VALUE_PERCENTILES_SQL,
         "order_lineitem_join": ORDER_LINEITEM_JOIN_SQL,
+        "top_orders_by_segment": top_orders_by_segment_sql(),
+        "top_bigrams": TOP_BIGRAMS_SQL,
+        "decontaminate": decontaminate_sql(),
+        "stratified_sample": stratified_sample_sql(),
         # no oracle (non-SQL-expressible; driver records rows-only):
         #   extract_flagship (cascade), minhash/simhash/ngram/embedding pairs
         #   (LSH banding), knn_ivf (approximate), quality_score (float

@@ -634,6 +634,70 @@ ORDER_LINEITEM_JOIN_SQL = """
 """
 
 
+def top_orders_by_segment(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
+    """Group-wise top-k: the k highest-value orders PER market segment
+    (broadcast dim join + per-batch local top-k, then one tiny
+    ``map_groups`` per segment — the key space is a closed 5-value
+    vocabulary, so per-key calls are bounded). Rank ties break by
+    o_orderkey ascending, mirrored in the window-function oracle."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).rename_columns(["o_custkey", "c_mktsegment"])
+    ref = ray.put(cust)
+
+    def _join_local_topk(t: pa.Table) -> pa.Table:
+        j = _broadcast_inner_join(t, _cached_dim(ref), "o_custkey")
+        # local top-k per segment inside the batch: only ≤ 5*k rows leave
+        out = []
+        for seg in set(j["c_mktsegment"].to_pylist()):
+            sub = j.filter(pc.equal(j["c_mktsegment"], seg))
+            order = pc.sort_indices(
+                sub, sort_keys=[("o_totalprice", "descending"),
+                                ("o_orderkey", "ascending")]
+            )
+            out.append(sub.take(order[: k]))
+        return (
+            pa.concat_tables(out) if out
+            else j.slice(0, 0)
+        ).select(["c_mktsegment", "o_orderkey", "o_totalprice"])
+
+    def _final_topk(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[("o_totalprice", "descending"),
+                          ("o_orderkey", "ascending")]
+        )
+        g = g.take(order[: k])
+        return pa.Table.from_pydict(
+            {
+                "c_mktsegment": g["c_mktsegment"],
+                "o_orderkey": g["o_orderkey"],
+                "rank": pa.array(np.arange(1, g.num_rows + 1), pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return (
+        ds.map_batches(_join_local_topk, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .map_groups(_final_topk, batch_format="pyarrow")
+    )
+
+
+def top_orders_by_segment_sql(k: int = 3) -> str:
+    return f"""
+        SELECT c_mktsegment, o_orderkey, rank FROM (
+            SELECT c_mktsegment, o_orderkey,
+                   row_number() OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        ) WHERE rank <= {k}
+    """
+
+
 def docs_by_lang(sf_dir: str) -> "ray.data.Dataset":
     """Documents per lang with char-length stats (SQL-checkable)."""
     ds = _read(sf_dir, "documents", ["lang", "n_chars"])

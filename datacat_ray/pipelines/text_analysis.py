@@ -299,6 +299,154 @@ TOP_TERMS_SQL = r"""
 
 
 # ---------------------------------------------------------------------------
+# eval-set decontamination (broadcast anti-join on fingerprints)
+# ---------------------------------------------------------------------------
+
+DECONTAM_EVAL_DOCS = 20  # doc_ids [0, 20) stand in for the eval set
+
+
+def decontaminate(sf_dir: str) -> "ray.data.Dataset":
+    """Surviving doc_ids after eval-set decontamination: any doc whose
+    order-sensitive fingerprint equals an eval-set doc's fingerprint is
+    dropped (the training-data hygiene step that keeps benchmark text out
+    of the corpus). The eval fingerprints load via a pushdown-filtered
+    read and broadcast as a set (``ray.put``) — a broadcast ANTI-join;
+    the corpus side streams once. At a billion-doc eval set this flips to
+    the bucketed-join shape; eval sets are small by construction."""
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(f"{sf_dir}/documents.parquet", format="parquet")
+    ev = dset.to_table(
+        columns=["text"],
+        filter=pads.field("doc_id") < DECONTAM_EVAL_DOCS,
+    )
+    import ray as _ray
+
+    bad = frozenset(doc_fingerprint(t) for t in ev["text"].to_pylist())
+    ref = _ray.put(bad)
+
+    def _filter(t: pa.Table) -> pa.Table:
+        b = _ray.get(ref)
+        keep = [doc_fingerprint(x) not in b for x in t["text"].to_pylist()]
+        return pa.Table.from_pydict({"doc_id": t["doc_id"]}).filter(
+            pa.array(keep)
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        _filter, batch_format="pyarrow"
+    )
+
+
+def decontaminate_sql() -> str:
+    return f"""
+        WITH fp AS ({fingerprint_sql()})
+        SELECT doc_id FROM fp
+        WHERE fingerprint NOT IN (
+            SELECT fingerprint FROM fp WHERE doc_id < {DECONTAM_EVAL_DOCS}
+        )
+    """
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+STRATA_PCT = {"en": 50, "fr": 20, "de": 30, "es": 30, "it": 10}
+_SAMPLE_KNUTH = 2654435761
+
+
+def stratified_sample(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic per-language downsampling: keep a doc iff
+    ``(doc_id * knuth) % 100`` falls under its language's percentage —
+    the reproducible corpus-mixing step of a training-data pipeline
+    (seeded hash, no RNG state, identical in SQL). Unknown languages
+    drop."""
+
+    ds = _read_documents(sf_dir, ["doc_id", "lang"])
+
+    def _pick(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        langs = t["lang"].to_pylist()
+        keep = [
+            lg in STRATA_PCT
+            and (i * _SAMPLE_KNUTH) % 100 < STRATA_PCT[lg]
+            for i, lg in zip(ids, langs)
+        ]
+        return pa.Table.from_pydict(
+            {"doc_id": t["doc_id"], "lang": t["lang"]}
+        ).filter(pa.array(keep))
+
+    return ds.map_batches(_pick, batch_format="pyarrow")
+
+
+def stratified_sample_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{lg}' THEN {pct}" for lg, pct in sorted(STRATA_PCT.items())
+    )
+    return f"""
+        SELECT doc_id, lang FROM documents
+        WHERE (doc_id * {_SAMPLE_KNUTH}) % 100 <
+              (CASE lang {cases} ELSE 0 END)
+    """
+
+
+# ---------------------------------------------------------------------------
+# corpus bigram counts (combiner + one shuffle)
+# ---------------------------------------------------------------------------
+
+
+def top_bigrams(sf_dir: str, k: int = 20) -> pa.Table:
+    """Corpus-wide top-k adjacent-token bigrams — same map-side-combiner
+    shape as ``top_terms`` (per-batch Counter → (bigram, partial) rows →
+    small groupby-sum → sort-limit)."""
+    import collections
+
+    from ray.data.aggregate import Sum
+
+    ds = _read_documents(sf_dir, ["text"])
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        c: collections.Counter = collections.Counter()
+        for t in batch["text"].to_pylist():
+            toks = (t or "").split()
+            c.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+        return pa.Table.from_pydict(
+            {
+                "bigram": pa.array(list(c.keys()), type=pa.string()),
+                "partial": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    totals = (
+        ds.map_batches(_partials, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("partial", alias_name="n"))
+    )
+    top = totals.sort(["n", "bigram"], descending=[True, False]).limit(k).take_all()
+    return pa.Table.from_pydict(
+        {
+            "bigram": pa.array([r["bigram"] for r in top], type=pa.string()),
+            "n": pa.array([r["n"] for r in top], type=pa.int64()),
+        }
+    )
+
+
+TOP_BIGRAMS_SQL = r"""
+    WITH toks AS (
+        SELECT regexp_split_to_array(trim(text), '\s+') AS a
+        FROM documents WHERE trim(coalesce(text, '')) <> ''
+    ),
+    b AS (
+        SELECT unnest(list_transform(range(1, len(a)),
+                                     i -> a[i] || ' ' || a[i + 1])) AS bigram
+        FROM toks
+    )
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM b GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
 # quality scoring
 # ---------------------------------------------------------------------------
 
