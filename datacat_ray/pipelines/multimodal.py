@@ -131,62 +131,94 @@ def image_metadata(sf_dir: str) -> "ray.data.Dataset":
 
 
 # ---------------------------------------------------------------------------
-# audio: opaque binary + typed metadata, frame-sample actor stage
+# audio: REAL WAV/PCM payloads (stdlib wave module), frame-sample actor stage
 # ---------------------------------------------------------------------------
-
-_AUDIO_MAGIC = b"DCRA"
-_AUDIO_HEADER = struct.Struct("<4sIIH")  # magic, sample_rate, n_samples, channels
 
 
 def make_fake_audio(seed: int) -> bytes:
-    """Deterministic fake audio payload: real header + pseudo-random body."""
+    """Deterministic REAL WAV payload: 16-bit mono PCM (seeded sine +
+    noise). Durations stay sub-second — fixture cost bounds them; the
+    header still reports real sample counts for the frame grid."""
+    import io
+    import wave
+
     rng = np.random.RandomState((seed * 31 + 7) & 0x7FFFFFFF)
     sr = int(rng.choice([8000, 16000, 44100]))
-    n = int(rng.randint(sr, sr * 20))  # 1-20 s
-    return _AUDIO_HEADER.pack(_AUDIO_MAGIC, sr, n, 1) + rng.bytes(
-        min(n // 64, 4096)
-    )
+    n = int(rng.randint(sr // 4, sr * 3))  # 0.25-3 s
+    t = np.arange(n, dtype=np.float64) / sr
+    freq = float(rng.uniform(100, 1000))
+    sig = 0.6 * np.sin(2 * np.pi * freq * t) + 0.1 * rng.standard_normal(n)
+    pcm = np.clip(sig * 32767, -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
 
 
 class AudioFrameSampler:
-    """Actor-pool stage: parse audio headers and plan a deterministic
-    frame-sampling grid (``frame_sec``-spaced offsets). ``decode_samples``
-    is the STUB seam (no audio codec in this environment); everything
-    Ray-side — schema, per-actor init, small batches for wide binary rows,
-    nested list output column — is real."""
+    """Actor-pool stage: REAL WAV parse (stdlib ``wave``) + PCM decode,
+    deterministic ``frame_sec``-spaced frame grid with per-frame RMS
+    energy — the feature-extraction shape of an audio training pipeline
+    (per-actor init, small batches for wide binary rows, nested list
+    output column)."""
 
     def __init__(self, frame_sec: float = 1.0) -> None:
-        self.frame_sec = frame_sec  # real codec/model load goes here
+        self.frame_sec = frame_sec  # heavier codec/model load goes here
 
     @staticmethod
-    def decode_samples(payload: bytes) -> "np.ndarray":
-        """STUB: PCM decode requires an audio library (soundfile/ffmpeg) —
-        not available in this environment; swap in production."""
-        raise NotImplementedError(
-            "audio decode requires an audio library — not available here"
-        )
+    def decode_samples(payload: bytes) -> tuple[int, "np.ndarray"]:
+        """WAV bytes → (sample_rate, float64 mono samples in [-1, 1]).
+        16-bit PCM only (the fixture format); anything else raises."""
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            if w.getsampwidth() != 2:
+                raise ValueError("only 16-bit PCM supported")
+            sr = w.getframerate()
+            ch = w.getnchannels()
+            raw = w.readframes(w.getnframes())
+        pcm = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+        if ch > 1:
+            pcm = pcm.reshape(-1, ch).mean(axis=1)
+        return sr, pcm
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import wave
+
         rows = {"doc_id": [], "sample_rate": [], "duration_ms": [],
-                "n_frames": [], "frame_offsets_ms": [], "valid": []}
+                "n_frames": [], "frame_offsets_ms": [], "frame_rms": [],
+                "valid": []}
         for doc_id, p in zip(batch["doc_id"].to_pylist(),
                              batch["audio"].to_pylist()):
             rows["doc_id"].append(doc_id)
-            if p and len(p) >= _AUDIO_HEADER.size and p[:4] == _AUDIO_MAGIC:
-                _, sr, n, _ch = _AUDIO_HEADER.unpack_from(p)
-                dur_ms = n * 1000 // sr
-                step = int(self.frame_sec * 1000)
-                offsets = list(range(0, max(dur_ms, 1), step))
+            try:
+                sr, pcm = self.decode_samples(p)
+                dur_ms = len(pcm) * 1000 // sr
+                step_ms = int(self.frame_sec * 1000)
+                offsets = list(range(0, max(dur_ms, 1), step_ms))
+                step = int(self.frame_sec * sr)
+                rms = [
+                    round(float(np.sqrt(np.mean(
+                        pcm[o * sr // 1000 : o * sr // 1000 + step] ** 2
+                    ))), 6)
+                    for o in offsets
+                ]
                 rows["sample_rate"].append(sr)
                 rows["duration_ms"].append(dur_ms)
                 rows["n_frames"].append(len(offsets))
                 rows["frame_offsets_ms"].append(offsets)
+                rows["frame_rms"].append(rms)
                 rows["valid"].append(True)
-            else:
+            except (wave.Error, EOFError, ValueError, TypeError, AttributeError):
                 rows["sample_rate"].append(0)
                 rows["duration_ms"].append(0)
                 rows["n_frames"].append(0)
                 rows["frame_offsets_ms"].append([])
+                rows["frame_rms"].append([])
                 rows["valid"].append(False)
         return pa.Table.from_pydict(
             rows,
@@ -194,6 +226,7 @@ class AudioFrameSampler:
                 [("doc_id", pa.int64()), ("sample_rate", pa.int32()),
                  ("duration_ms", pa.int64()), ("n_frames", pa.int32()),
                  ("frame_offsets_ms", pa.list_(pa.int64())),
+                 ("frame_rms", pa.list_(pa.float64())),
                  ("valid", pa.bool_())]
             ),
         )
