@@ -212,6 +212,9 @@ def compute_winners_parquet(
 
     from datacat_ray.stages.bucketed import keep_last
 
+    marker = os.path.join(out_dir, "_WINNERS_OK")
+    if os.path.exists(marker):
+        return out_dir  # resumable: a finished build is never repeated
     os.makedirs(out_dir, exist_ok=True)
 
     def _local(b: pa.Table) -> pa.Table:
@@ -246,6 +249,8 @@ def compute_winners_parquet(
         .map_groups(_reduce_bucket, batch_format="pyarrow")
     )
     summary.materialize()  # drive the writes; summary itself is tiny
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
     return out_dir
 
 

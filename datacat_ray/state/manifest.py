@@ -91,6 +91,19 @@ def completed_partitions(out_dir: str) -> dict[int, dict]:
     return done
 
 
+_BWF_CACHE: dict[str, object] = {}
+
+
+def _bucket_filter_for(winner_dir: str):
+    f = _BWF_CACHE.get(winner_dir)
+    if f is None:
+        from datacat_ray.stages.dedup import BucketWinnerFilter
+
+        _BWF_CACHE.clear()
+        f = _BWF_CACHE[winner_dir] = BucketWinnerFilter(winner_dir)
+    return f
+
+
 @ray.remote
 def _extract_partition(
     part_id: int,
@@ -111,7 +124,11 @@ def _extract_partition(
     tables = [pq.read_table(f) for f in fragments]
     batch = pa.concat_tables(tables)
     rows_in = batch.num_rows
-    if winners_ref is not None:
+    if winners_ref is not None and winners_ref[0] == "bucketed":
+        # >driver-memory winner set: probe the hash-bucketed winner parquet
+        # through a per-worker cached BucketWinnerFilter (bounded LRU)
+        batch = _bucket_filter_for(winners_ref[1])(batch)
+    elif winners_ref is not None:
         # winners_ref is wrapped in a 1-list so Ray does NOT auto-resolve it
         # at task invocation — _cached_get deserializes once per worker
         w = _cached_get(winners_ref[0])
@@ -189,9 +206,25 @@ def run_extract_job(
     ]
     winners_ref = None
     if dedup and pending:
-        from datacat_ray.stages.dedup import compute_winners
+        import pyarrow.dataset as pads
 
-        winners_ref = [ray.put(compute_winners(input_path))]
+        from datacat_ray.stages.dedup import (
+            _DRIVER_WINNER_ROWS,
+            compute_winners,
+            compute_winners_parquet,
+        )
+
+        n_rows = pads.dataset(input_path, format="parquet").count_rows()
+        if n_rows > _DRIVER_WINNER_ROWS:
+            # the >driver-memory path: distributed hash-bucketed winner
+            # parquet under the job's own output dir (resumable — the
+            # success marker skips the rebuild on re-invocation)
+            wdir = compute_winners_parquet(
+                input_path, os.path.join(out_dir, "_winners")
+            )
+            winners_ref = ["bucketed", wdir]
+        else:
+            winners_ref = [ray.put(compute_winners(input_path))]
     recs = list(done.values())
     in_flight: list = []
     for part_id, frs in pending:

@@ -94,3 +94,32 @@ def test_fragments_per_part_grouping(ray_session, tmp_path, pages_dir):
     s = run_extract_job(pages_dir, out, fragments_per_part=2)
     assert s["partitions_total"] == math.ceil(n_frags / 2) < n_frags
     assert len(_read_all(out)) == 60
+
+
+def test_job_bucketed_winner_path_identical(ray_session, tmp_path, pages_dir):
+    """Forcing the >driver-memory winner path (hash-bucketed winner parquet
+    + per-worker filter) must produce byte-identical job output to the
+    driver-dict path."""
+    import pyarrow.parquet as pq
+    import pytest
+
+    from datacat_ray.stages import dedup as D
+
+    out_a = str(tmp_path / "driver")
+    out_b = str(tmp_path / "bucketed")
+    run_extract_job(pages_dir, out_a)
+    import unittest.mock as mock
+
+    with mock.patch.object(D, "_DRIVER_WINNER_ROWS", 0):
+        s = run_extract_job(pages_dir, out_b)
+    assert (tmp_path / "bucketed" / "_winners" / "_WINNERS_OK").exists()
+
+    def rows(d):
+        import os
+
+        parts = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+        t = pq.read_table([f"{d}/{p}" for p in parts])
+        return sorted(zip(t["url"].to_pylist(), t["main_text"].to_pylist()))
+
+    assert rows(out_a) == rows(out_b)
+    assert s["rows_out"] > 0
