@@ -86,6 +86,8 @@ from datacat_ray.pipelines.text_analysis import (
     lang_id,
     lang_id_sql,
     quality_score,
+    quality_score_micros,
+    quality_score_micros_sql,
     redact_pii,
     text_stats,
     token_count,
@@ -229,6 +231,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": redact_pii,
         "lang_id": lang_id,
         "quality_score": quality_score,
+        "quality_score_micros": quality_score_micros,
         "fingerprint": fingerprint,
         # trainer-side ops (SURVEY §2.6 O3, §2.5 A5)
         "train_eval_split": train_eval_split,
@@ -362,6 +365,7 @@ def build_oracle_sql() -> dict[str, str]:
         "top_bigrams": TOP_BIGRAMS_SQL,
         "decontaminate": decontaminate_sql(),
         "stratified_sample": stratified_sample_sql(),
+        "quality_score_micros": quality_score_micros_sql(),
         # no oracle (non-SQL-expressible; driver records rows-only):
         #   extract_flagship (cascade), minhash/simhash/ngram/embedding pairs
         #   (LSH banding), knn_ivf (approximate), quality_score (float

@@ -499,6 +499,94 @@ def quality_score(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def quality_score_micros_value(text: str) -> int:
+    """Integer-micros quality score with a DuckDB-replayable formula: the
+    same terms as ``quality_score_value``, accumulated in a FIXED order
+    (left-assoc, matching the SQL expression tree term for term) so both
+    engines produce the identical IEEE double before the final
+    floor(x·1e6 + 0.5)."""
+    import math
+
+    f = quality_features(text)
+    s = (0.25 if 20 <= f["n_chars"] <= 100_000 else 0.0)
+    s = s + (0.25 if 2.0 <= f["mean_word_len"] <= 12.0 else 0.0)
+    s = s + 0.25 * min(1.0, f["stopword_ratio"] / 0.2)
+    s = s + 0.25 * f["alpha_ratio"]
+    s = s - 0.5 * max(0.0, f["punct_ratio"] - 0.2)
+    return int(math.floor(max(0.0, min(1.0, s)) * 1_000_000 + 0.5))
+
+
+def quality_score_micros(sf_dir: str) -> "ray.data.Dataset":
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def _batch(t: pa.Table) -> pa.Table:
+        v = [quality_score_micros_value(x) for x in t["text"].to_pylist()]
+        return pa.Table.from_pydict(
+            {"doc_id": t["doc_id"],
+             "quality_micros": pa.array(v, type=pa.int64())}
+        )
+
+    return ds.map_batches(_batch, batch_format="pyarrow")
+
+
+def quality_score_micros_sql() -> str:
+    """SQL replay of ``quality_score_micros_value``: identical word split
+    (regexp '\\s+' + empty filter ≡ Python str.split on this data, the
+    equivalence token_count's oracle already pins), \\p{L} ≡ str.isalpha,
+    stopword union from the SAME dict, and the same left-assoc float
+    accumulation."""
+    stops = ", ".join(
+        f"'{w}'" for w in sorted(_LANG_STOPWORDS["en"] | _LANG_STOPWORDS["fr"])
+    )
+    punct = "[.,;:!?]"
+    return rf"""
+        WITH f AS (
+            SELECT doc_id,
+                   length(coalesce(text, '')) AS n,
+                   length(coalesce(text, ''))
+                     - length(regexp_replace(coalesce(text, ''),
+                                             '\p{{L}}', '', 'g')) AS alpha,
+                   length(coalesce(text, ''))
+                     - length(regexp_replace(coalesce(text, ''),
+                                             '{punct}', '', 'g')) AS punct,
+                   list_filter(regexp_split_to_array(coalesce(text, ''),
+                                                     '\s+'),
+                               t -> t <> '') AS words
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, n, alpha, punct,
+                   len(words) AS nw,
+                   CASE WHEN len(words) = 0 THEN 0.0
+                        ELSE list_sum(list_transform(words, w -> length(w)))
+                             * 1.0 / len(words) END AS mean_wlen,
+                   CASE WHEN len(words) = 0 THEN 0.0
+                        ELSE len(list_filter(words,
+                                             w -> lower(w) IN ({stops})))
+                             * 1.0 / len(words) END AS stop_ratio
+            FROM f
+        ),
+        s AS (
+            SELECT doc_id,
+                   ((((CASE WHEN n BETWEEN 20 AND 100000
+                            THEN 0.25 ELSE 0.0 END)
+                      + (CASE WHEN mean_wlen >= 2.0 AND mean_wlen <= 12.0
+                              THEN 0.25 ELSE 0.0 END))
+                     + 0.25 * LEAST(1.0, stop_ratio / 0.2))
+                    + 0.25 * (CASE WHEN n = 0 THEN 0.0
+                                   ELSE alpha * 1.0 / n END))
+                   - 0.5 * GREATEST(0.0, (CASE WHEN n = 0 THEN 0.0
+                                               ELSE punct * 1.0 / n END)
+                                         - 0.2) AS score
+            FROM g
+        )
+        SELECT doc_id,
+               CAST(FLOOR(GREATEST(0.0, LEAST(1.0, score)) * 1000000 + 0.5)
+                    AS BIGINT) AS quality_micros
+        FROM s
+    """
+
+
 # ---------------------------------------------------------------------------
 # corpus filter (composed quality gates — the training-data selection shape)
 # ---------------------------------------------------------------------------
