@@ -623,17 +623,33 @@ def _hyperplanes(dim: int) -> np.ndarray:
     )
 
 
-def _embed_band_rows(batch: pa.Table) -> pa.Table:
-    """Each vector lands in one bucket PER TABLE (multi-table random-
-    hyperplane LSH: with r=5 planes × B=10 tables, candidate recall at
-    cosine 0.45 is ~0.7 and rises steeply with similarity — single-table
-    sign LSH has ~zero recall at moderate thresholds)."""
+def _unit_rows(batch: pa.Table) -> pa.Table:
+    """(vec_id, unit): unit-normalized vectors, computed once and reused by
+    the band explode and verification (the 'sig table' of this family)."""
     vec_ids = np.array(batch["vec_id"].to_pylist(), dtype=np.int64)
     embs = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
     norms = np.linalg.norm(embs, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     unit = embs / norms
-    bits = (unit @ _hyperplanes(embs.shape[1]).T) > 0  # (n, B*r)
+    return pa.Table.from_pydict(
+        {
+            "vec_id": pa.array(vec_ids),
+            "unit": pa.array(unit.tolist(), type=pa.list_(pa.float64())),
+        }
+    )
+
+
+def _embed_band_rows(batch: pa.Table) -> pa.Table:
+    """Each vector lands in one bucket PER TABLE (multi-table random-
+    hyperplane LSH: with r=5 planes × B=10 tables, candidate recall at
+    cosine 0.45 is ~0.7 and rises steeply with similarity — single-table
+    sign LSH has ~zero recall at moderate thresholds). Band rows are
+    NARROW (bucket, vec_id): shipping the unit vector with every one of
+    the B band rows multiplied shuffle volume ×10; verification fetches
+    vectors once per candidate instead."""
+    vec_ids = np.array(batch["vec_id"].to_pylist(), dtype=np.int64)
+    unit = np.array(batch["unit"].to_pylist(), dtype=np.float64)
+    bits = (unit @ _hyperplanes(unit.shape[1]).T) > 0  # (n, B*r)
     bits = bits.reshape(len(unit), N_TABLES, N_PLANES)
     table_keys = bits @ (1 << np.arange(N_PLANES))  # (n, B)
     keys = (np.arange(N_TABLES)[None, :] << N_PLANES) | table_keys
@@ -642,32 +658,37 @@ def _embed_band_rows(batch: pa.Table) -> pa.Table:
         {
             "bucket": pa.array(keys.reshape(-1).astype(np.int64)),
             "vec_id": pa.array(np.repeat(vec_ids, B)),
-            "unit": pa.array(
-                np.repeat(unit, B, axis=0).tolist(), type=pa.list_(pa.float64())
-            ),
         }
     )
 
 
-def _embed_bucket_pairs(group: pa.Table, threshold: float) -> pa.Table:
-    n = group.num_rows
-    a_col, b_col, cos = [], [], []
-    if 2 <= n <= 4096:
-        ids = np.array(group["vec_id"].to_pylist())
-        unit = np.array(group["unit"].to_pylist(), dtype=np.float64)
-        sims = unit @ unit.T
+EMBED_MAX_BUCKET = 4096  # above this a cell is degenerate (all-same spam);
+# degrade to star pairs around min vec_id (logged) instead of dropping
+
+
+def _embed_bucket_cands(group: pa.Table) -> pa.Table:
+    ids = sorted(set(group["vec_id"].to_pylist()))
+    n = len(ids)
+    a_col: list[int] = []
+    b_col: list[int] = []
+    if n > EMBED_MAX_BUCKET:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "hot embedding-LSH bucket: %d members > cap %d — star pairs only",
+            n, EMBED_MAX_BUCKET,
+        )
+        a_col = [ids[0]] * (n - 1)
+        b_col = ids[1:]
+    elif n >= 2:
         ii, jj = np.triu_indices(n, k=1)
-        keep = sims[ii, jj] >= threshold
-        for i, j in zip(ii[keep], jj[keep]):
-            a, b = sorted((int(ids[i]), int(ids[j])))
-            a_col.append(a)
-            b_col.append(b)
-            cos.append(round(float(sims[i, j]), 6))
+        arr = np.array(ids, dtype=np.int64)
+        a_col = arr[ii].tolist()
+        b_col = arr[jj].tolist()
     return pa.Table.from_pydict(
         {
             "vec_a": pa.array(a_col, type=pa.int64()),
             "vec_b": pa.array(b_col, type=pa.int64()),
-            "cosine": pa.array(cos, type=pa.float64()),
         }
     )
 
@@ -676,18 +697,67 @@ def embedding_neardup_pairs(
     sf_dir: str, threshold: float = 0.45
 ) -> "ray.data.Dataset":
     """Near-duplicate embedding pairs: multi-table random-hyperplane LSH
-    buckets, then in-bucket exact cosine, deduped across tables by a final
-    groupby. Recall < 1 by construction (tune N_TABLES/N_PLANES to the
-    threshold; the defaults target moderate cosine on the synthetic
-    clustered embeddings — the driver testdata's max off-diagonal cosine is
-    ~0.51, so a 0.9-style threshold would be vacuous there)."""
-    from ray.data.aggregate import Max as _Max
+    buckets over NARROW (bucket, vec_id) band rows, candidate pairs deduped
+    across tables, then exact-cosine verification with the unit vectors
+    fetched once per candidate (streaming membership filter + broadcast —
+    the same two-phase shape as MinHash; at beyond-driver candidate counts
+    the join path applies). Recall < 1 by construction (tune
+    N_TABLES/N_PLANES to the threshold; the driver testdata's max
+    off-diagonal cosine is ~0.51, so a 0.9-style threshold would be
+    vacuous there)."""
+    from ray.data.aggregate import Count as _Count
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    bands = ds.map_batches(_embed_band_rows, batch_format="pyarrow")
-    pairs = bands.groupby("bucket").map_groups(
-        lambda g: _embed_bucket_pairs(g, threshold), batch_format="pyarrow"
+    units = ds.map_batches(_unit_rows, batch_format="pyarrow").materialize()
+    bands = units.map_batches(_embed_band_rows, batch_format="pyarrow")
+    cands = (
+        bands.groupby("bucket")
+        .map_groups(_embed_bucket_cands, batch_format="pyarrow")
+        .groupby(["vec_a", "vec_b"])
+        .aggregate(_Count(alias_name="__nb"))
+        .select_columns(["vec_a", "vec_b"])
+        .materialize()  # tiny: one row per candidate pair
     )
-    return pairs.groupby(["vec_a", "vec_b"]).aggregate(
-        _Max("cosine", alias_name="cosine")
-    )
+    cand_ids = set()
+    for b in cands.iter_batches(batch_format="pyarrow"):
+        cand_ids.update(b["vec_a"].to_pylist())
+        cand_ids.update(b["vec_b"].to_pylist())
+    ids_ref = ray.put(cand_ids)
+
+    def _member(t: pa.Table) -> pa.Table:
+        wanted = ray.get(ids_ref)
+        return t.filter(
+            pa.array([v in wanted for v in t["vec_id"].to_pylist()])
+        )
+
+    unit_map: dict[int, list[float]] = {}
+    for b in units.map_batches(_member, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        unit_map.update(zip(b["vec_id"].to_pylist(), b["unit"].to_pylist()))
+    unit_ref = ray.put(unit_map)
+
+    def _verify(t: pa.Table) -> pa.Table:
+        m = ray.get(unit_ref)
+        if t.num_rows == 0:
+            return pa.Table.from_pydict(
+                {"vec_a": pa.array([], pa.int64()),
+                 "vec_b": pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64())}
+            )
+        a = np.array([m[v] for v in t["vec_a"].to_pylist()], dtype=np.float64)
+        b = np.array([m[v] for v in t["vec_b"].to_pylist()], dtype=np.float64)
+        cos = np.einsum("ij,ij->i", a, b)
+        keep = cos >= threshold
+        idx = pa.array(np.flatnonzero(keep))
+        import pyarrow.compute as _pc
+
+        return pa.Table.from_pydict(
+            {
+                "vec_a": _pc.take(t["vec_a"], idx),
+                "vec_b": _pc.take(t["vec_b"], idx),
+                "cosine": pa.array(np.round(cos[keep], 6), type=pa.float64()),
+            }
+        )
+
+    return cands.map_batches(_verify, batch_format="pyarrow")
