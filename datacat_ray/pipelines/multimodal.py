@@ -233,61 +233,102 @@ class AudioFrameSampler:
 
 
 # ---------------------------------------------------------------------------
-# video: opaque binary + typed metadata, frame-sample plan
+# video: PNG-frame container (real per-frame decode), frame-sample stage
 # ---------------------------------------------------------------------------
 
-_VIDEO_MAGIC = b"DCRV"
+_VIDEO_MAGIC = b"DCV2"
 _VIDEO_HEADER = struct.Struct("<4sIIHH")  # magic, n_frames, w, h, fps
+# After the header: n_frames × (u32 length + PNG bytes). A real deployment
+# swaps this container parse + PNG decode for an ffmpeg/decord codec — the
+# frame-sampling plan, per-frame decode, and per-frame stats are the same
+# shape either way.
 
 
 def make_fake_video(seed: int) -> bytes:
+    """Deterministic video payload: a header + every frame as a REAL PNG
+    (tiny frames, a moving gradient) so frame decode is exercised for
+    real."""
     rng = np.random.RandomState((seed * 53 + 11) & 0x7FFFFFFF)
     fps = int(rng.choice([24, 25, 30]))
-    n_frames = int(rng.randint(fps, fps * 120))  # 1-120 s
-    w, h = int(rng.choice([640, 1280])), int(rng.choice([360, 720]))
-    return _VIDEO_HEADER.pack(_VIDEO_MAGIC, n_frames, w, h, fps) + rng.bytes(
-        min(n_frames, 4096)
-    )
+    n_frames = int(rng.randint(8, 25))
+    w = h = 16
+    parts = [_VIDEO_HEADER.pack(_VIDEO_MAGIC, n_frames, w, h, fps)]
+    base = rng.randint(0, 200)
+    for i in range(n_frames):
+        x = np.linspace(0, 255, w)[None, :]
+        y = np.linspace(0, 255, h)[:, None]
+        arr = np.stack(
+            [
+                np.broadcast_to((x + 10 * i) % 256, (h, w)),
+                np.broadcast_to(y, (h, w)),
+                np.full((h, w), (base + 5 * i) % 256, dtype=np.float64),
+            ],
+            axis=2,
+        ).astype(np.uint8)
+        png = encode_png(arr)
+        parts.append(struct.pack("<I", len(png)))
+        parts.append(png)
+    return b"".join(parts)
 
 
 class VideoFrameSampler:
-    """Actor-pool stage: parse video headers, plan a deterministic
-    every-``sample_sec`` frame grid. ``decode_frame`` is the STUB seam (no
-    video codec in this environment); the Ray plumbing — per-actor init,
-    small batches for wide binary rows, nested output — is real."""
+    """Actor-pool stage: parse the frame container, plan a deterministic
+    every-``sample_sec`` frame grid, and REALLY decode the sampled frames
+    (stdlib PNG codec) to emit per-frame mean luma — the frame-sampling
+    feature-extraction shape of a video training pipeline. Per-actor init,
+    small batches for wide binary rows, nested output columns."""
 
     def __init__(self, sample_sec: float = 2.0) -> None:
-        self.sample_sec = sample_sec  # real decoder init goes here
+        self.sample_sec = sample_sec  # heavier codec init goes here
 
     @staticmethod
     def decode_frame(payload: bytes, frame_idx: int) -> "np.ndarray":
-        """STUB: frame decode requires a video library (ffmpeg/decord)."""
-        raise NotImplementedError(
-            "video decode requires a video library — not available here"
-        )
+        """Container bytes + frame index → uint8 (h, w, c) pixels."""
+        if not payload or payload[:4] != _VIDEO_MAGIC:
+            raise ValueError("not a frame container")
+        _, n, _w, _h, _fps = _VIDEO_HEADER.unpack_from(payload)
+        if not 0 <= frame_idx < n:
+            raise ValueError("frame index out of range")
+        pos = _VIDEO_HEADER.size
+        for i in range(frame_idx + 1):
+            (ln,) = struct.unpack_from("<I", payload, pos)
+            if i == frame_idx:
+                return decode_png(payload[pos + 4 : pos + 4 + ln])
+            pos += 4 + ln
+        raise ValueError("truncated container")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = {"doc_id": [], "width": [], "height": [], "fps": [],
-                "n_frames": [], "sampled_frames": [], "valid": []}
+                "n_frames": [], "sampled_frames": [], "frame_luma": [],
+                "valid": []}
         for doc_id, p in zip(batch["doc_id"].to_pylist(),
                              batch["video"].to_pylist()):
             rows["doc_id"].append(doc_id)
-            if p and len(p) >= _VIDEO_HEADER.size and p[:4] == _VIDEO_MAGIC:
+            try:
+                if not p or p[:4] != _VIDEO_MAGIC:
+                    raise ValueError("bad magic")
                 _, n, w, h, fps = _VIDEO_HEADER.unpack_from(p)
                 step = max(1, int(self.sample_sec * fps))
                 sampled = list(range(0, n, step))
+                luma = []
+                for fi in sampled:
+                    px = self.decode_frame(p, fi)
+                    rgb = px[:, :, :3].astype(np.float64)
+                    luma.append(round(float((rgb @ _LUMA).mean()), 6))
                 rows["width"].append(w)
                 rows["height"].append(h)
                 rows["fps"].append(fps)
                 rows["n_frames"].append(n)
                 rows["sampled_frames"].append(sampled)
+                rows["frame_luma"].append(luma)
                 rows["valid"].append(True)
-            else:
+            except (ValueError, zlib.error, struct.error):
                 rows["width"].append(0)
                 rows["height"].append(0)
                 rows["fps"].append(0)
                 rows["n_frames"].append(0)
                 rows["sampled_frames"].append([])
+                rows["frame_luma"].append([])
                 rows["valid"].append(False)
         return pa.Table.from_pydict(
             rows,
@@ -296,6 +337,7 @@ class VideoFrameSampler:
                  ("height", pa.int32()), ("fps", pa.int32()),
                  ("n_frames", pa.int32()),
                  ("sampled_frames", pa.list_(pa.int32())),
+                 ("frame_luma", pa.list_(pa.float64())),
                  ("valid", pa.bool_())]
             ),
         )
