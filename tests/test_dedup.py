@@ -270,3 +270,27 @@ def test_minhash_hot_bucket_star_pairs(ray_session, tmp_path):
     touched = set(pairs["doc_a"]) | set(pairs["doc_b"])
     assert set(range(n)) <= touched
     assert len(pairs) >= n - 1
+
+
+def test_hot_url_pathological_skew(ray_session):
+    """One url with thousands of captures spread over many blocks (the
+    hot-key pathology): in-batch pre-dedup bounds what reaches the bucket
+    shuffle to ≤ one row per block, and the result is still exactly one
+    winner row."""
+    import numpy as np
+
+    import ray.data
+
+    n = 20_000
+    t = pa.Table.from_pydict(
+        {
+            "url": ["https://hot.example.org/"] * n + ["https://cold/1"],
+            "warc_ts": pa.array(list(range(n)) + [5], pa.int64()),
+            "payload": [f"p{i}" for i in range(n)] + ["cold"],
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(16)
+    out = dedup_latest(ds, key="url", ts="warc_ts").take_all()
+    got = {r["url"]: r["payload"] for r in out}
+    assert got == {"https://hot.example.org/": f"p{n-1}",
+                   "https://cold/1": "cold"}
