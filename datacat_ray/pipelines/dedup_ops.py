@@ -292,6 +292,39 @@ def _est_jaccard_batch(batch: pa.Table, threshold: float) -> pa.Table:
 _CAND_BROADCAST_MAX = 2_000_000  # pairs; above this, verify via join
 
 
+def _fetch_candidate_values(
+    cands: "ray.data.Dataset",
+    id_cols: tuple[str, str],
+    source_ds: "ray.data.Dataset",
+    id_col: str,
+    val_col: str,
+):
+    """Shared verify-phase fetch: membership-filter ``source_ds`` down to
+    the ids appearing in the candidate pairs (ONE streaming pass — never a
+    full driver-side read) and broadcast the {id: value} map via
+    ``ray.put``. Driver memory is O(candidates). Consumers read the
+    returned ref through ``bucketed.cached_ref`` (one deserialization per
+    worker, not per batch)."""
+    from datacat_ray.stages.bucketed import cached_ref
+
+    wanted: set = set()
+    for b in cands.iter_batches(batch_format="pyarrow"):
+        for c in id_cols:
+            wanted.update(b[c].to_pylist())
+    ids_ref = ray.put(wanted)
+
+    def _member(t: pa.Table) -> pa.Table:
+        w = cached_ref(ids_ref)
+        return t.filter(pa.array([x in w for x in t[id_col].to_pylist()]))
+
+    out: dict = {}
+    for b in source_ds.map_batches(_member, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        out.update(zip(b[id_col].to_pylist(), b[val_col].to_pylist()))
+    return ray.put(out)
+
+
 def minhash_candidate_pairs(
     sf_dir: str, threshold: float = 0.7, method: str = "auto"
 ) -> "ray.data.Dataset":
@@ -352,26 +385,14 @@ def minhash_candidate_pairs(
 
     # broadcast: one streaming pass filters the sig table down to candidate
     # docs; only those (bounded by the candidate set) reach the driver
-    cand_ids = set()
-    for b in cands.iter_batches(batch_format="pyarrow"):
-        cand_ids.update(b["doc_a"].to_pylist())
-        cand_ids.update(b["doc_b"].to_pylist())
-    ids_ref = ray.put(cand_ids)
+    from datacat_ray.stages.bucketed import cached_ref
 
-    def _member(t: pa.Table) -> pa.Table:
-        wanted = ray.get(ids_ref)
-        mask = pa.array([d in wanted for d in t["doc_id"].to_pylist()])
-        return t.filter(mask)
-
-    sig_map: dict[int, bytes] = {}
-    for b in sigs.map_batches(_member, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
-        sig_map.update(zip(b["doc_id"].to_pylist(), b["sig"].to_pylist()))
-    sig_ref = ray.put(sig_map)
+    sig_ref = _fetch_candidate_values(
+        cands, ("doc_a", "doc_b"), sigs, "doc_id", "sig"
+    )
 
     def _verify(t: pa.Table) -> pa.Table:
-        m = ray.get(sig_ref)
+        m = cached_ref(sig_ref)
         t = t.append_column(
             "sig_a", pa.array([m[d] for d in t["doc_a"].to_pylist()],
                               type=pa.binary())
@@ -573,30 +594,17 @@ def ngram_jaccard_pairs(
 
     # broadcast: membership-filter the documents table down to candidate
     # docs in one streaming pass; only those texts reach the driver
-    cand_ids = set()
-    for b in cands.iter_batches(batch_format="pyarrow"):
-        cand_ids.update(b["doc_a"].to_pylist())
-        cand_ids.update(b["doc_b"].to_pylist())
-    ids_ref = ray.put(cand_ids)
+    from datacat_ray.stages.bucketed import cached_ref
 
-    def _member(t: pa.Table) -> pa.Table:
-        wanted = ray.get(ids_ref)
-        return t.filter(
-            pa.array([d in wanted for d in t["doc_id"].to_pylist()])
-        )
-
-    text_map: dict[int, str] = {}
     docs_ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    for b in docs_ds.map_batches(_member, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
-        text_map.update(zip(b["doc_id"].to_pylist(), b["text"].to_pylist()))
-    text_ref = ray.put(text_map)
+    text_ref = _fetch_candidate_values(
+        cands, ("doc_a", "doc_b"), docs_ds, "doc_id", "text"
+    )
 
     def _verify(batch: pa.Table) -> pa.Table:
-        texts = ray.get(text_ref)
+        texts = cached_ref(text_ref)
         t = batch.append_column(
             "text_a", pa.array([texts[x] for x in batch["doc_a"].to_pylist()])
         ).append_column(
@@ -718,27 +726,14 @@ def embedding_neardup_pairs(
         .select_columns(["vec_a", "vec_b"])
         .materialize()  # tiny: one row per candidate pair
     )
-    cand_ids = set()
-    for b in cands.iter_batches(batch_format="pyarrow"):
-        cand_ids.update(b["vec_a"].to_pylist())
-        cand_ids.update(b["vec_b"].to_pylist())
-    ids_ref = ray.put(cand_ids)
+    from datacat_ray.stages.bucketed import cached_ref
 
-    def _member(t: pa.Table) -> pa.Table:
-        wanted = ray.get(ids_ref)
-        return t.filter(
-            pa.array([v in wanted for v in t["vec_id"].to_pylist()])
-        )
-
-    unit_map: dict[int, list[float]] = {}
-    for b in units.map_batches(_member, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
-        unit_map.update(zip(b["vec_id"].to_pylist(), b["unit"].to_pylist()))
-    unit_ref = ray.put(unit_map)
+    unit_ref = _fetch_candidate_values(
+        cands, ("vec_a", "vec_b"), units, "vec_id", "unit"
+    )
 
     def _verify(t: pa.Table) -> pa.Table:
-        m = ray.get(unit_ref)
+        m = cached_ref(unit_ref)
         if t.num_rows == 0:
             return pa.Table.from_pydict(
                 {"vec_a": pa.array([], pa.int64()),

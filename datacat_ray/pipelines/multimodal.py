@@ -201,12 +201,15 @@ class AudioFrameSampler:
                 step_ms = int(self.frame_sec * 1000)
                 offsets = list(range(0, max(dur_ms, 1), step_ms))
                 step = int(self.frame_sec * sr)
-                rms = [
-                    round(float(np.sqrt(np.mean(
-                        pcm[o * sr // 1000 : o * sr // 1000 + step] ** 2
-                    ))), 6)
-                    for o in offsets
-                ]
+                rms = []
+                for o in offsets:
+                    seg = pcm[o * sr // 1000 : o * sr // 1000 + step]
+                    # a zero-frame-but-valid WAV yields an empty segment:
+                    # emit 0.0, not NaN
+                    rms.append(
+                        round(float(np.sqrt(np.mean(seg ** 2))), 6)
+                        if len(seg) else 0.0
+                    )
                 rows["sample_rate"].append(sr)
                 rows["duration_ms"].append(dur_ms)
                 rows["n_frames"].append(len(offsets))

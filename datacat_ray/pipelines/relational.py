@@ -454,8 +454,14 @@ def rolling_user_revenue(sf_dir: str) -> "ray.data.Dataset":
 
     def _daily_partial(t: pa.Table) -> pa.Table:
         day = pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.date32())
-        cents = pc.cast(pc.round(pc.multiply(t["value"], pa.scalar(100.0))),
-                        pa.int64())
+        # floor(x+0.5), not round(): pc.round ties half-to-even while the
+        # SQL side's ROUND ties half-away — identical-formula flooring is
+        # the tie-safe discipline (same as order_lineitem_join)
+        cents = pa.array(
+            np.floor(
+                t["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+        )
         p = pa.Table.from_pydict(
             {"user_id": t["user_id"],
              "day": pc.cast(day, pa.int32()),
@@ -518,7 +524,7 @@ ROLLING_USER_REVENUE_SQL = """
     WITH d AS (
         SELECT user_id, date_trunc('day', ts) AS day,
                COUNT(*) AS n,
-               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+               SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS cents
         FROM events GROUP BY 1, 2
     )
     SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
@@ -543,11 +549,15 @@ def value_percentiles(sf_dir: str) -> "ray.data.Dataset":
     def _pct(g: pa.Table) -> pa.Table:
         v = g["value"].combine_chunks().to_numpy()
         p50, p95 = np.percentile(v, [50, 95], method="linear")
+        # floor(x+0.5): Python round() ties half-to-even, SQL ROUND ties
+        # half-away — identical-formula flooring on both sides instead
         return pa.Table.from_pydict(
             {
                 "event_type": [g["event_type"][0].as_py()],
-                "p50_micros": pa.array([round(p50 * 1e6)], pa.int64()),
-                "p95_micros": pa.array([round(p95 * 1e6)], pa.int64()),
+                "p50_micros": pa.array(
+                    [int(np.floor(p50 * 1e6 + 0.5))], pa.int64()),
+                "p95_micros": pa.array(
+                    [int(np.floor(p95 * 1e6 + 0.5))], pa.int64()),
                 "n": pa.array([g.num_rows], pa.int64()),
             }
         )
@@ -557,9 +567,9 @@ def value_percentiles(sf_dir: str) -> "ray.data.Dataset":
 
 VALUE_PERCENTILES_SQL = """
     SELECT event_type,
-           CAST(ROUND(quantile_cont(value, 0.5) * 1000000) AS BIGINT)
+           CAST(FLOOR(quantile_cont(value, 0.5) * 1000000 + 0.5) AS BIGINT)
                AS p50_micros,
-           CAST(ROUND(quantile_cont(value, 0.95) * 1000000) AS BIGINT)
+           CAST(FLOOR(quantile_cont(value, 0.95) * 1000000 + 0.5) AS BIGINT)
                AS p95_micros,
            COUNT(*) AS n
     FROM events GROUP BY event_type

@@ -234,15 +234,27 @@ def build_ivf_index(
 
         digest = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
         index_dir = os.path.join(tempfile.gettempdir(), f"datacat_ivf_{digest}")
-    # marker carries a layout version so stale caches from older index
-    # formats rebuild instead of half-loading
+    from datacat_ray.stages.dedup import input_fingerprint
+
+    # marker carries a layout version + the input fingerprint: stale caches
+    # (older format, or embeddings regenerated at the same path) rebuild
+    # instead of half-loading or silently serving the old index
+    fp = input_fingerprint(f"{sf_dir}/embeddings.parquet")
     marker = os.path.join(index_dir, "_BUILT_v2")
     if (
-        os.path.exists(marker)
+        not overwrite
+        and os.path.exists(marker)
         and os.path.exists(os.path.join(index_dir, "centroids.npy"))
-        and not overwrite
     ):
-        return index_dir
+        with open(marker) as fh:
+            if fh.read().strip() == fp:
+                return index_dir
+    if os.path.isdir(index_dir):
+        # clear torn/stale builds: Ray writes uniquely-named files, so a
+        # rebuild on top of leftovers would DUPLICATE vectors per bucket
+        import shutil
+
+        shutil.rmtree(index_dir)
     os.makedirs(index_dir, exist_ok=True)
 
     src = ray.data.read_parquet(
@@ -271,7 +283,7 @@ def build_ivf_index(
         index_dir, partition_cols=["bucket"]
     )
     with open(marker, "w") as fh:
-        fh.write("ok\n")
+        fh.write(fp + "\n")
     return index_dir
 
 
@@ -302,6 +314,13 @@ def ivf_topk(
         for f in sorted(os.listdir(d))
         if f.endswith(".parquet")
     ]
+    if not probe_dirs:
+        # every probed centroid is a dead (never-written) cell — an empty
+        # result, not a crash on read_parquet([])
+        return pa.Table.from_pydict(
+            {"vec_id": pa.array([], pa.int64()),
+             "rank": pa.array([], pa.int64())}
+        )
     q_ref = ray.put(q)
 
     def _probe_topk(batch: pa.Table) -> pa.Table:

@@ -322,11 +322,13 @@ def decontaminate(sf_dir: str) -> "ray.data.Dataset":
     )
     import ray as _ray
 
+    from datacat_ray.stages.bucketed import cached_ref
+
     bad = frozenset(doc_fingerprint(t) for t in ev["text"].to_pylist())
     ref = _ray.put(bad)
 
     def _filter(t: pa.Table) -> pa.Table:
-        b = _ray.get(ref)
+        b = cached_ref(ref)
         keep = [doc_fingerprint(x) not in b for x in t["text"].to_pylist()]
         return pa.Table.from_pydict({"doc_id": t["doc_id"]}).filter(
             pa.array(keep)

@@ -22,6 +22,30 @@ import pyarrow.compute as pc
 
 DEFAULT_BUCKETS = 64  # shuffle partitions; scale ~ cluster cores × 2
 
+_BCAST_CACHE: dict = {}
+_BCAST_ORDER: list = []
+
+
+def cached_ref(ref, max_entries: int = 8):
+    """Per-worker deserialization cache for broadcast objects: ``ray.get``
+    of a large dict/set re-deserializes it EVERY call, so a per-batch
+    closure must go through this instead (one deserialization per worker
+    per object, small bounded LRU — a stage pair alternating two refs must
+    not thrash a single-slot cache)."""
+    import ray as _ray
+
+    k = ref.hex()
+    if k in _BCAST_CACHE:
+        _BCAST_ORDER.remove(k)
+        _BCAST_ORDER.append(k)
+        return _BCAST_CACHE[k]
+    v = _ray.get(ref)
+    _BCAST_CACHE[k] = v
+    _BCAST_ORDER.append(k)
+    while len(_BCAST_ORDER) > max_entries:
+        _BCAST_CACHE.pop(_BCAST_ORDER.pop(0), None)
+    return v
+
 
 def add_bucket(
     t: pa.Table, key: str, n_buckets: int = DEFAULT_BUCKETS

@@ -191,6 +191,29 @@ WINNER_BUCKETS = 64  # winner-parquet partitions; scale to keep each bucket
 # dict « worker heap (10^12 keys × 16 B / P — at that scale use P ~ 65536)
 
 
+def input_fingerprint(path) -> str:
+    """Cheap content fingerprint of a parquet directory/file: sha1 over the
+    sorted (name, size, mtime_ns) listing. Cached artifacts derived from an
+    input (winner sets, indexes) store this in their success marker so a
+    REGENERATED input at the same path invalidates the cache instead of
+    silently serving stale results."""
+    import hashlib
+
+    h = hashlib.sha1()
+    p = str(path)
+    if os.path.isdir(p):
+        entries = sorted(
+            f for f in os.listdir(p) if f.endswith(".parquet")
+        )
+    else:
+        entries = [os.path.basename(p)]
+        p = os.path.dirname(p) or "."
+    for name in entries:
+        st = os.stat(os.path.join(p, name))
+        h.update(f"{name}:{st.st_size}:{st.st_mtime_ns}\n".encode())
+    return h.hexdigest()
+
+
 def compute_winners_parquet(
     path,
     out_dir: str,
@@ -212,9 +235,18 @@ def compute_winners_parquet(
 
     from datacat_ray.stages.bucketed import keep_last
 
+    fp = input_fingerprint(path)
     marker = os.path.join(out_dir, "_WINNERS_OK")
     if os.path.exists(marker):
-        return out_dir  # resumable: a finished build is never repeated
+        with open(marker) as fh:
+            if fh.read().strip() == fp:
+                return out_dir  # finished build over the SAME input bytes
+    if os.path.isdir(out_dir):
+        # stale (input changed) OR torn (crashed mid-build): clear so no
+        # old-input bucket file can survive into the new layout
+        import shutil
+
+        shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
 
     def _local(b: pa.Table) -> pa.Table:
@@ -250,7 +282,7 @@ def compute_winners_parquet(
     )
     summary.materialize()  # drive the writes; summary itself is tiny
     with open(marker, "w") as fh:
-        fh.write("ok\n")
+        fh.write(fp + "\n")
     return out_dir
 
 

@@ -181,11 +181,12 @@ _SCRIPT_STYLE_RE = _re.compile(
     r"<(script|style)\b[^>]*>.*?</\1\s*>", _re.S | _re.I
 )
 _COMMENT_RE = _re.compile(r"<!--.*?-->|<!\[CDATA\[.*?\]\]>|<![^>]*>", _re.S)
-# quoted attribute values may contain '>' (<a title="a>b">) — the attribute
-# region alternation skips quoted spans whole instead of stopping at the
-# first '>', matching the stdlib parser's attribute state machine
+# quoted attribute values may contain '>' (<a title="a>b">) — but a quote
+# only opens a quoted span in VALUE position (right after '='), matching
+# the stdlib parser: unquoted values containing a quote (<a title=don't>)
+# must not swallow text to the next quote
 _TAG_RE = _re.compile(
-    r"<(/?)([a-zA-Z][a-zA-Z0-9]*)(?:\"[^\"]*\"|'[^']*'|[^>\"'])*?(/?)>"
+    r"<(/?)([a-zA-Z][a-zA-Z0-9]*)(?:=\s*\"[^\"]*\"|=\s*'[^']*'|[^>])*?(/?)>"
 )
 
 

@@ -111,9 +111,29 @@ def test_scanner_quoted_gt_and_cdata():
         "<p>keep this text here please</p><![CDATA[junk > more]]>"
         "<p>and this second sentence too</p>",
         '<div data-x="1>2" data-y=\'3>4\'>real body sentence long enough</div>',
+        '<div data-x = "1>2">spaced equals real body sentence long ok</div>',
     ]
     for s in cases:
         scan = parse_main_blocks(s, "scan")
         assert scan == parse_main_blocks(s, "stdlib")
         joined = " ".join(b["text"] for b in scan)
         assert ">" not in joined and "junk" not in joined
+
+
+def test_scanner_unquoted_attr_with_quote():
+    """A quote inside an UNQUOTED attribute value must not open a quoted
+    span (<a title=don't> swallowed following text before the fix)."""
+    from datacat_ray.stages.dom import parse_main_blocks
+
+    cases = [
+        "<p>text <a title=don't href=/x>click here</a> and it's fine okay</p>",
+        "<p>start <b class=rock'n>bold words in here</b> closing text ok</p>",
+        "<p>lone apostrophe tag <i data-q=x'y>ital</i> trailing words ok</p>",
+    ]
+    for s in cases:
+        scan = parse_main_blocks(s, "scan")
+        assert scan == parse_main_blocks(s, "stdlib")
+        joined = " ".join(b["text"] for b in scan)
+        for frag in ("click here", "bold words", "ital"):
+            if frag in s:
+                assert frag in joined
