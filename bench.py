@@ -41,7 +41,7 @@ def _pages_path(sf_dir: str, repeat: int = 1) -> str:
     import pyarrow.parquet as pq
 
     tag = sf_dir.strip("/").replace("/", "_")
-    path = f"/tmp/datacat_bench_pages_{tag}_x{repeat}"
+    path = f"/tmp/datacat_bench_pages_{tag}_x{repeat}_v2"
     done = os.path.join(path, "_DONE")
     if not os.path.exists(done):
         from datacat_ray.fixtures import pages_from_documents

@@ -231,7 +231,17 @@ def pages_from_documents(sf_dir: str) -> pa.Table:
         paras = "".join(
             f"<p>{line}</p>" for line in (text or "").split("\n") if line.strip()
         )
-        html = f"<html><body>{nav}<div class=\"main\">{paras}</div>{footer}</body></html>"
+        # deterministic page assets (doc_id % 5 images): <img> emits no
+        # text, so the byte-identity surface is untouched; the asset
+        # extractor (S12/O2 web-text form) must recover exactly these
+        imgs = "".join(
+            f'<img src="https://img.example.org/{doc_id}/{i}.png" alt="">'
+            for i in range(int(doc_id) % 5)
+        )
+        html = (
+            f"<html><body>{nav}{imgs}"
+            f"<div class=\"main\">{paras}</div>{footer}</body></html>"
+        )
         urls.append(f"https://docs.example.org/{doc_id}")
         tss.append(_BASE_TS_US + int(doc_id) * 1_000_000)
         htmls.append(html.encode("utf-8"))

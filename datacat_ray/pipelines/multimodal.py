@@ -14,6 +14,7 @@ environment) around real plumbing.
 from __future__ import annotations
 
 import hashlib
+import re
 import struct
 import zlib
 
@@ -128,6 +129,70 @@ def image_metadata(sf_dir: str) -> "ray.data.Dataset":
         concurrency=(1, 4),
         num_cpus=1,
     )
+
+
+# ---------------------------------------------------------------------------
+# page image assets (S12 sink + O2 count limit, web-text form)
+# ---------------------------------------------------------------------------
+
+ASSET_LIMIT = 3  # O2 per-document asset cap (reference: asset-count limit
+# on saved page images, DatacatSegmenterParser asset path)
+
+_IMG_SRC_RE = re.compile(
+    r"<img\b[^>]*?src\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]+))", re.I
+)
+
+
+def extract_image_assets(html: str, limit: int = ASSET_LIMIT) -> list[str]:
+    """Document-order <img src> urls, capped at ``limit`` (the reference
+    saves page image assets with a per-document count limit — S12/O2; in
+    the web-text model assets are url references, not embedded bitmaps)."""
+    out = []
+    for m in _IMG_SRC_RE.finditer(html or ""):
+        out.append(m.group(1) or m.group(2) or m.group(3) or "")
+        if len(out) >= limit:
+            break
+    return out
+
+
+def image_assets(sf_dir: str, limit: int = ASSET_LIMIT) -> "ray.data.Dataset":
+    """(doc_id, asset_idx, asset_url): page assets extracted from the html
+    of the wrapped pages table — the S12 asset sink surface, oracle-checked
+    because the wrapper embeds a deterministic asset set per doc_id."""
+    from datacat_ray.fixtures import pages_from_documents
+
+    pages = pages_from_documents(sf_dir)
+    ds = ray.data.from_arrow(pages)
+
+    def _assets(t: pa.Table) -> pa.Table:
+        doc_ids, idxs, urls = [], [], []
+        for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            doc = int(url.rsplit("/", 1)[1])
+            for i, a in enumerate(
+                extract_image_assets(html.decode("utf-8"), limit)
+            ):
+                doc_ids.append(doc)
+                idxs.append(i)
+                urls.append(a)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "asset_idx": pa.array(idxs, type=pa.int64()),
+                "asset_url": pa.array(urls, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(_assets, batch_format="pyarrow")
+
+
+IMAGE_ASSETS_SQL = f"""
+    SELECT doc_id,
+           unnest(range(least(doc_id % 5, {ASSET_LIMIT}))) AS asset_idx,
+           'https://img.example.org/' || doc_id || '/'
+               || unnest(range(least(doc_id % 5, {ASSET_LIMIT}))) || '.png'
+               AS asset_url
+    FROM documents
+"""
 
 
 # ---------------------------------------------------------------------------

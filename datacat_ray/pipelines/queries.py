@@ -36,8 +36,13 @@ from datacat_ray.pipelines.dedup_ops import (
     simhash_pairs,
 )
 from datacat_ray.pipelines.extract import build_extract_pipeline
-from datacat_ray.pipelines.multimodal import image_metadata
-from datacat_ray.pipelines.multimodal import audio_frames, video_frames
+from datacat_ray.pipelines.multimodal import (
+    IMAGE_ASSETS_SQL,
+    audio_frames,
+    image_assets,
+    image_metadata,
+    video_frames,
+)
 from datacat_ray.pipelines.relational import (
     ASOF_PURCHASE_SQL,
     ORDER_LINEITEM_JOIN_SQL,
@@ -237,6 +242,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "train_eval_split": train_eval_split,
         "quality_band_eval": quality_band_eval,
         # multimodal plumbing
+        "image_assets": image_assets,
         "image_metadata": image_metadata,
         "audio_frames": audio_frames,
         "video_frames": video_frames,
@@ -366,6 +372,7 @@ def build_oracle_sql() -> dict[str, str]:
         "decontaminate": decontaminate_sql(),
         "stratified_sample": stratified_sample_sql(),
         "quality_score_micros": quality_score_micros_sql(),
+        "image_assets": IMAGE_ASSETS_SQL,
         # no oracle (non-SQL-expressible; driver records rows-only):
         #   extract_flagship (cascade), minhash/simhash/ngram/embedding pairs
         #   (LSH banding), knn_ivf (approximate), quality_score (float

@@ -151,3 +151,20 @@ def test_video_frame_sampling(ray_session):
     with pytest.raises(ValueError):
         VideoFrameSampler.decode_frame(b"junk", 0)
     assert video_frames("/root/testdata/sf0.001").count() == 500
+
+
+def test_extract_image_assets_cap_and_quotes():
+    """S12/O2 web-text form: document-order src extraction across quote
+    styles, capped at the per-document asset limit."""
+    from datacat_ray.pipelines.multimodal import extract_image_assets
+
+    html = (
+        '<p>x</p><img src="https://a/1.png"><IMG SRC=\'https://a/2.png\'>'
+        "<img alt=y src=https://a/3.png><img src=https://a/4.png>"
+    )
+    assert extract_image_assets(html, limit=3) == [
+        "https://a/1.png", "https://a/2.png", "https://a/3.png"
+    ]
+    assert extract_image_assets(html, limit=10)[-1] == "https://a/4.png"
+    assert extract_image_assets("", 3) == []
+    assert extract_image_assets("<img>no src here</img>", 3) == []
