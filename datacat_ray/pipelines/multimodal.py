@@ -138,8 +138,10 @@ def image_metadata(sf_dir: str) -> "ray.data.Dataset":
 ASSET_LIMIT = 3  # O2 per-document asset cap (reference: asset-count limit
 # on saved page images, DatacatSegmenterParser asset path)
 
+# (?<![\w-])src: don't match the src inside data-src= / lazy-src=
 _IMG_SRC_RE = re.compile(
-    r"<img\b[^>]*?src\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]+))", re.I
+    r"<img\b[^>]*?(?<![\w-])src\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]+))",
+    re.I,
 )
 
 

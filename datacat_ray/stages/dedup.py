@@ -397,7 +397,10 @@ def dedup_latest_prefilter(
             BucketWinnerFilter,
             fn_constructor_args=(winner_dir, key, ts),
             batch_format="pyarrow",
-            concurrency=filter_concurrency,
+            # autoscaling pool with min 1: a FIXED pool of size=CPUs
+            # reserves every core and starves the upstream read stage
+            # outright on small sessions (deadlock, measured)
+            concurrency=(1, filter_concurrency),
         )
 
     winners = compute_winners(path, key, ts)

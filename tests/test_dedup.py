@@ -294,3 +294,39 @@ def test_hot_url_pathological_skew(ray_session):
     got = {r["url"]: r["payload"] for r in out}
     assert got == {"https://hot.example.org/": f"p{n-1}",
                    "https://cold/1": "cold"}
+
+
+def test_winner_cache_invalidated_on_input_change(ray_session, tmp_path):
+    """Regenerating data at the same path must rebuild the cached winner
+    set (fingerprint in the success marker), not serve stale winners."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    from datacat_ray.stages.dedup import dedup_latest_prefilter
+
+    d = datetime.datetime
+    src = tmp_path / "pages"
+    src.mkdir()
+    wdir = str(tmp_path / "win")
+
+    def write(ts_map):
+        for i, (url, ts) in enumerate(sorted(ts_map.items())):
+            t = pa.Table.from_pydict(
+                {"url": [url], "warc_ts": pa.array([ts], pa.timestamp("us")),
+                 "payload": [f"{url}@{ts}"]}
+            )
+            pq.write_table(t, str(src / f"part-{i}.parquet"))
+
+    write({"a": d(2020, 1, 1)})
+    out1 = dedup_latest_prefilter(str(src), mode="bucketed",
+                                  winner_dir=wdir).take_all()
+    assert {r["url"] for r in out1} == {"a"}
+    # regenerate with a LATER capture at the same path
+    import time
+
+    time.sleep(0.01)  # ensure mtime_ns moves
+    write({"a": d(2021, 6, 1)})
+    out2 = dedup_latest_prefilter(str(src), mode="bucketed",
+                                  winner_dir=wdir).take_all()
+    assert [r["payload"] for r in out2] == ["a@2021-06-01 00:00:00"]

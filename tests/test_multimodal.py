@@ -168,3 +168,10 @@ def test_extract_image_assets_cap_and_quotes():
     assert extract_image_assets(html, limit=10)[-1] == "https://a/4.png"
     assert extract_image_assets("", 3) == []
     assert extract_image_assets("<img>no src here</img>", 3) == []
+
+
+def test_image_assets_ignores_data_src():
+    from datacat_ray.pipelines.multimodal import extract_image_assets
+
+    html = '<img data-src="https://lazy/x.png"><img src="https://a/1.png">'
+    assert extract_image_assets(html, 3) == ["https://a/1.png"]
