@@ -374,7 +374,12 @@ def build_oracle_sql() -> dict[str, str]:
         "quality_score_micros": quality_score_micros_sql(),
         "image_assets": IMAGE_ASSETS_SQL,
         # no oracle (non-SQL-expressible; driver records rows-only):
-        #   extract_flagship (cascade), minhash/simhash/ngram/embedding pairs
-        #   (LSH banding), knn_ivf (approximate), quality_score (float
-        #   composite), image_metadata (binary plumbing)
+        #   extract_flagship (cascade; its byte-identity slice IS oracled via
+        #   extract_text_identity), features_debug (33-field featurizer,
+        #   golden-tested), minhash/simhash/ngram/embedding pairs (LSH
+        #   banding — the signature arithmetic is out of SQL reach),
+        #   knn_ivf (approximate), approx_distinct_users (sketch),
+        #   quality_score (float column; the integer mirror
+        #   quality_score_micros IS oracled), image_metadata / audio_frames
+        #   / video_frames (binary decode pipelines, unit-golden-tested)
     }
