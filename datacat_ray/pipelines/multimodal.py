@@ -138,10 +138,16 @@ def image_metadata(sf_dir: str) -> "ray.data.Dataset":
 ASSET_LIMIT = 3  # O2 per-document asset cap (reference: asset-count limit
 # on saved page images, DatacatSegmenterParser asset path)
 
-# (?<![\w-])src: don't match the src inside data-src= / lazy-src=
-_IMG_SRC_RE = re.compile(
-    r"<img\b[^>]*?(?<![\w-])src\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]+))",
-    re.I,
+# img tag spans with quote-aware attribute regions (a quote opens a span
+# only in value position, same rule as the dom scanner's _TAG_RE)
+_IMG_TAG_RE = re.compile(
+    r"<img\b((?:=\s*\"[^\"]*\"|=\s*'[^']*'|[^>])*)>", re.I
+)
+# sequential attribute tokenizer: values (quoted or bare) are consumed as
+# part of their attribute, so 'src=' INSIDE another attribute's value can
+# never be mistaken for the src attribute
+_ATTR_RE = re.compile(
+    r"([a-zA-Z][\w-]*)(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]*)))?"
 )
 
 
@@ -150,8 +156,12 @@ def extract_image_assets(html: str, limit: int = ASSET_LIMIT) -> list[str]:
     saves page image assets with a per-document count limit — S12/O2; in
     the web-text model assets are url references, not embedded bitmaps)."""
     out = []
-    for m in _IMG_SRC_RE.finditer(html or ""):
-        out.append(m.group(1) or m.group(2) or m.group(3) or "")
+    for tag in _IMG_TAG_RE.finditer(html or ""):
+        for a in _ATTR_RE.finditer(tag.group(1)):
+            if a.group(1).lower() == "src":
+                v = a.group(2) or a.group(3) or a.group(4) or ""
+                out.append(v)
+                break
         if len(out) >= limit:
             break
     return out

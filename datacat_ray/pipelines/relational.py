@@ -456,12 +456,12 @@ def rolling_user_revenue(sf_dir: str) -> "ray.data.Dataset":
         day = pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.date32())
         # floor(x+0.5), not round(): pc.round ties half-to-even while the
         # SQL side's ROUND ties half-away — identical-formula flooring is
-        # the tie-safe discipline (same as order_lineitem_join)
-        cents = pa.array(
-            np.floor(
-                t["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
-            ).astype(np.int64)
-        )
+        # the tie-safe discipline (same as order_lineitem_join). Null
+        # values count as 0 cents on BOTH sides (the SQL COALESCEs) —
+        # floor(NaN).astype(int64) would otherwise poison the sum
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = np.where(np.isnan(v), 0.0, v)
+        cents = pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64))
         p = pa.Table.from_pydict(
             {"user_id": t["user_id"],
              "day": pc.cast(day, pa.int32()),
@@ -524,7 +524,8 @@ ROLLING_USER_REVENUE_SQL = """
     WITH d AS (
         SELECT user_id, date_trunc('day', ts) AS day,
                COUNT(*) AS n,
-               SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS cents
+               SUM(CAST(FLOOR(COALESCE(value, 0) * 100 + 0.5) AS BIGINT))
+                   AS cents
         FROM events GROUP BY 1, 2
     )
     SELECT user_id, strftime(day, '%Y-%m-%d') AS day,

@@ -251,10 +251,14 @@ def build_ivf_index(
                 return index_dir
     if os.path.isdir(index_dir):
         # clear torn/stale builds: Ray writes uniquely-named files, so a
-        # rebuild on top of leftovers would DUPLICATE vectors per bucket
-        import shutil
+        # rebuild on top of leftovers would DUPLICATE vectors per bucket —
+        # refusing directories that hold anything but index artifacts
+        from datacat_ray.stages.dedup import clear_cache_dir
 
-        shutil.rmtree(index_dir)
+        clear_cache_dir(
+            index_dir,
+            lambda f: f.startswith(("bucket=", "_BUILT", "centroids")),
+        )
     os.makedirs(index_dir, exist_ok=True)
 
     src = ray.data.read_parquet(

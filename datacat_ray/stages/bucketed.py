@@ -26,12 +26,15 @@ _BCAST_CACHE: dict = {}
 _BCAST_ORDER: list = []
 
 
-def cached_ref(ref, max_entries: int = 8):
+def cached_ref(ref, max_entries: int = 4):
     """Per-worker deserialization cache for broadcast objects: ``ray.get``
     of a large dict/set re-deserializes it EVERY call, so a per-batch
     closure must go through this instead (one deserialization per worker
     per object, small bounded LRU — a stage pair alternating two refs must
-    not thrash a single-slot cache)."""
+    not thrash a single-slot cache). Trade-off: up to ``max_entries``
+    deserialized objects stay pinned per long-lived worker after their
+    pipelines finish; the bound keeps that a constant, and the object-store
+    copies are freed by Ray independently."""
     import ray as _ray
 
     k = ref.hex()

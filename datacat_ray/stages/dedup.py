@@ -100,22 +100,14 @@ def dedup_latest(
 # prefilter dedup: the 100 TB path — the wide payload never crosses a shuffle
 # ---------------------------------------------------------------------------
 
-_WINNER_CACHE: dict[str, dict] = {}
-
-
 def _cached_get(ref) -> dict:
     """Per-worker deserialization cache for the broadcast winner map (the
     ``ray.put`` once / read-in-every-task pattern; without the cache every
-    batch would re-deserialize the dict)."""
-    import ray as _ray
+    batch would re-deserialize the dict). Delegates to the shared bounded
+    cache in ``stages/bucketed.py`` — one implementation, one policy."""
+    from datacat_ray.stages.bucketed import cached_ref
 
-    k = ref.hex()
-    d = _WINNER_CACHE.get(k)
-    if d is None:
-        d = _ray.get(ref)
-        _WINNER_CACHE.clear()  # one live winner map per worker
-        _WINNER_CACHE[k] = d
-    return d
+    return cached_ref(ref)
 
 
 _DRIVER_WINNER_ROWS = 5_000_000
@@ -192,26 +184,46 @@ WINNER_BUCKETS = 64  # winner-parquet partitions; scale to keep each bucket
 
 
 def input_fingerprint(path) -> str:
-    """Cheap content fingerprint of a parquet directory/file: sha1 over the
-    sorted (name, size, mtime_ns) listing. Cached artifacts derived from an
-    input (winner sets, indexes) store this in their success marker so a
-    REGENERATED input at the same path invalidates the cache instead of
-    silently serving stale results."""
+    """Cheap content fingerprint of parquet input (a directory, a file, or
+    a list of either): sha1 over the sorted (path, size, mtime_ns) listing.
+    Cached artifacts derived from an input (winner sets, indexes) store
+    this in their success marker so a REGENERATED input at the same path
+    invalidates the cache instead of silently serving stale results."""
     import hashlib
 
+    files: list[str] = []
+    paths = path if isinstance(path, (list, tuple)) else [path]
+    for p in paths:
+        p = str(p)
+        if os.path.isdir(p):
+            files.extend(
+                os.path.join(p, f)
+                for f in os.listdir(p)
+                if f.endswith(".parquet")
+            )
+        else:
+            files.append(p)
     h = hashlib.sha1()
-    p = str(path)
-    if os.path.isdir(p):
-        entries = sorted(
-            f for f in os.listdir(p) if f.endswith(".parquet")
-        )
-    else:
-        entries = [os.path.basename(p)]
-        p = os.path.dirname(p) or "."
-    for name in entries:
-        st = os.stat(os.path.join(p, name))
-        h.update(f"{name}:{st.st_size}:{st.st_mtime_ns}\n".encode())
+    for f in sorted(files):
+        st = os.stat(f)
+        h.update(f"{f}:{st.st_size}:{st.st_mtime_ns}\n".encode())
     return h.hexdigest()
+
+
+def clear_cache_dir(d: str, allowed) -> None:
+    """Remove a stale/torn derived-artifact directory — but ONLY if every
+    entry looks like one of ours (``allowed(name)``). A caller pointing a
+    cache build at a directory holding unrelated data gets an error, not a
+    recursive delete."""
+    import shutil
+
+    strangers = [f for f in os.listdir(d) if not allowed(f)]
+    if strangers:
+        raise ValueError(
+            f"refusing to clear {d}: contains non-cache entries "
+            f"{strangers[:5]} — pass an empty/dedicated directory"
+        )
+    shutil.rmtree(d)
 
 
 def compute_winners_parquet(
@@ -243,10 +255,12 @@ def compute_winners_parquet(
                 return out_dir  # finished build over the SAME input bytes
     if os.path.isdir(out_dir):
         # stale (input changed) OR torn (crashed mid-build): clear so no
-        # old-input bucket file can survive into the new layout
-        import shutil
-
-        shutil.rmtree(out_dir)
+        # old-input bucket file can survive into the new layout — refusing
+        # directories that hold anything but winner artifacts
+        clear_cache_dir(
+            out_dir,
+            lambda f: f.startswith(("bucket-", ".tmp.bucket-", "_WINNERS")),
+        )
     os.makedirs(out_dir, exist_ok=True)
 
     def _local(b: pa.Table) -> pa.Table:

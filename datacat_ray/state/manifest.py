@@ -91,16 +91,27 @@ def completed_partitions(out_dir: str) -> dict[int, dict]:
     return done
 
 
-_BWF_CACHE: dict[str, object] = {}
+_BWF_CACHE: dict[tuple, object] = {}
 
 
 def _bucket_filter_for(winner_dir: str):
-    f = _BWF_CACHE.get(winner_dir)
+    """Per-worker BucketWinnerFilter cache, keyed by the winner set's OWN
+    fingerprint (from its success marker) as well as the dir — a rebuild of
+    the winner set at the same path (input regenerated mid-session) must
+    not keep serving a filter whose bucket LRU holds the old winners."""
+    marker = os.path.join(winner_dir, "_WINNERS_OK")
+    try:
+        with open(marker) as fh:
+            fp = fh.read().strip()
+    except FileNotFoundError:
+        fp = ""
+    key = (winner_dir, fp)
+    f = _BWF_CACHE.get(key)
     if f is None:
         from datacat_ray.stages.dedup import BucketWinnerFilter
 
         _BWF_CACHE.clear()
-        f = _BWF_CACHE[winner_dir] = BucketWinnerFilter(winner_dir)
+        f = _BWF_CACHE[key] = BucketWinnerFilter(winner_dir)
     return f
 
 

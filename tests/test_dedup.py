@@ -330,3 +330,25 @@ def test_winner_cache_invalidated_on_input_change(ray_session, tmp_path):
     out2 = dedup_latest_prefilter(str(src), mode="bucketed",
                                   winner_dir=wdir).take_all()
     assert [r["payload"] for r in out2] == ["a@2021-06-01 00:00:00"]
+
+
+def test_clear_cache_dir_refuses_foreign_dirs(tmp_path):
+    """Cache rebuilds must never recursively delete a directory holding
+    anything that is not a cache artifact."""
+    import pytest
+
+    from datacat_ray.stages.dedup import clear_cache_dir, input_fingerprint
+
+    d = tmp_path / "shared"
+    d.mkdir()
+    (d / "precious.txt").write_text("keep me")
+    with pytest.raises(ValueError):
+        clear_cache_dir(str(d), lambda f: f.startswith("bucket-"))
+    assert (d / "precious.txt").exists()
+    # list-of-files inputs fingerprint cleanly (previously crashed)
+    f1 = tmp_path / "a.parquet"
+    f1.write_bytes(b"x")
+    f2 = tmp_path / "b.parquet"
+    f2.write_bytes(b"y")
+    fp = input_fingerprint([str(f1), str(f2)])
+    assert isinstance(fp, str) and len(fp) == 40

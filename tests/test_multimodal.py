@@ -175,3 +175,18 @@ def test_image_assets_ignores_data_src():
 
     html = '<img data-src="https://lazy/x.png"><img src="https://a/1.png">'
     assert extract_image_assets(html, 3) == ["https://a/1.png"]
+
+
+def test_image_assets_quote_aware_attrs():
+    """src extraction survives '>' inside earlier quoted attribute values
+    and never extracts a 'src=' that sits inside another attr's value."""
+    from datacat_ray.pipelines.multimodal import extract_image_assets
+
+    assert extract_image_assets(
+        '<img alt="Size > 100" src="big.png">', 3) == ["big.png"]
+    assert extract_image_assets(
+        '<img title="use src=evil.png here" src="real.png">', 3
+    ) == ["real.png"]
+    assert extract_image_assets('<img alt="x" SRC=bare.png />', 3) == [
+        "bare.png"
+    ]
