@@ -405,6 +405,65 @@ def minhash_candidate_pairs(
     return cands.map_batches(_verify, batch_format="pyarrow")
 
 
+def neardup_clusters(
+    sf_dir: str, threshold: float = 0.7
+) -> "ray.data.Dataset":
+    """(doc_id, cluster_id) for EVERY doc: connected components over the
+    MinHash near-dup pair graph, cluster_id = min doc_id in the component;
+    docs with no near-dup edge are singletons (their own id). This is the
+    end-to-end consumer of the pair list — keep ``doc_id == cluster_id``
+    rows to deduplicate a corpus.
+
+    Shape: the pair list is orders of magnitude smaller than the corpus
+    (it already passed LSH banding + signature verification), so the
+    union-find runs on the driver over streamed pair batches and the
+    root map broadcasts back into one streaming assignment pass. At pair
+    counts beyond driver memory this becomes iterative hash-partitioned
+    label propagation (min-label exchange per round) — same output.
+
+    Hot-bucket caveat: star-capped buckets (>MAX_BUCKET) only stay
+    connected through star links whose signature Jaccard ALSO clears the
+    threshold; borderline members of a capped cluster can fall out as
+    singletons."""
+    from datacat_ray.stages.bucketed import cached_ref
+
+    pairs = minhash_candidate_pairs(sf_dir, threshold)
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for b in pairs.iter_batches(batch_format="pyarrow"):
+        for a, bb in zip(b["doc_a"].to_pylist(), b["doc_b"].to_pylist()):
+            ra, rb = find(a), find(b_ := bb)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    root = {x: find(x) for x in list(parent)}
+    ref = ray.put(root)
+
+    def _assign(t: pa.Table) -> pa.Table:
+        r = cached_ref(ref)
+        ids = t["doc_id"].to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "cluster_id": pa.array(
+                    [r.get(d, d) for d in ids], type=pa.int64()),
+            }
+        )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    return docs.map_batches(_assign, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -32,6 +32,7 @@ from datacat_ray.pipelines.dedup_ops import (
     exact_dedup,
     latest_events,
     minhash_candidate_pairs,
+    neardup_clusters,
     ngram_jaccard_pairs,
     simhash_pairs,
 )
@@ -216,6 +217,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "latest_events": latest_events,
         "exact_dedup": exact_dedup,
         "duplicate_clusters": duplicate_clusters,
+        "neardup_clusters": lambda sf: neardup_clusters(sf, threshold=0.7),
         "minhash_pairs": lambda sf: minhash_candidate_pairs(sf, threshold=0.7),
         "simhash_pairs": lambda sf: simhash_pairs(sf, max_hamming=3),
         "ngram_jaccard_pairs": lambda sf: ngram_jaccard_pairs(sf, threshold=0.6),

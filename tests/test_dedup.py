@@ -352,3 +352,39 @@ def test_clear_cache_dir_refuses_foreign_dirs(tmp_path):
     f2.write_bytes(b"y")
     fp = input_fingerprint([str(f1), str(f2)])
     assert isinstance(fp, str) and len(fp) == 40
+
+
+def test_neardup_clusters_components(ray_session, tmp_path):
+    """Connected components over near-dup pairs: two synthetic clusters
+    collapse to their min doc_id; unrelated docs stay singletons."""
+    import pyarrow.parquet as pq
+
+    from datacat_ray.pipelines.dedup_ops import neardup_clusters
+
+    base_a = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+              "lambda mu nu xi omicron pi rho sigma tau upsilon ") * 5
+    base_b = ("one two three four five six seven eight nine ten eleven "
+              "twelve thirteen fourteen fifteen sixteen seventeen ") * 5
+    import random as _rnd
+
+    def _unique_text(i):
+        r = _rnd.Random(1000 + i)
+        words = [f"{r.randrange(10**6):x}{chr(97 + r.randrange(26))}"
+                 for _ in range(40)]
+        return " ".join(words)
+
+    texts = (
+        [base_a + f" v{i}" for i in range(4)]          # cluster 0-3
+        + [base_b + f" w{i}" for i in range(3)]        # cluster 4-6
+        + [_unique_text(i) for i in range(5)]          # true singletons
+    )
+    t = pa.Table.from_pydict(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = neardup_clusters(str(tmp_path), threshold=0.7).to_pandas()
+    cl = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert all(cl[i] == 0 for i in range(4))
+    assert all(cl[i] == 4 for i in range(4, 7))
+    assert all(cl[i] == i for i in range(7, 12))
