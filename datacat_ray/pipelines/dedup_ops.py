@@ -441,7 +441,7 @@ def neardup_clusters(
 
     for b in pairs.iter_batches(batch_format="pyarrow"):
         for a, bb in zip(b["doc_a"].to_pylist(), b["doc_b"].to_pylist()):
-            ra, rb = find(a), find(b_ := bb)
+            ra, rb = find(a), find(bb)
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
     root = {x: find(x) for x in list(parent)}
