@@ -82,6 +82,8 @@ from datacat_ray.pipelines.text_analysis import (
     TOP_TERMS_SQL,
     decontaminate,
     decontaminate_sql,
+    oov_ratio,
+    oov_ratio_sql,
     stratified_sample,
     stratified_sample_sql,
     token_count_bpe,
@@ -232,6 +234,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams": lambda sf: top_bigrams(sf, k=20),
         "decontaminate": decontaminate,
         "stratified_sample": stratified_sample,
+        "oov_ratio": oov_ratio,
         "text_stats": text_stats,
         "top_terms": lambda sf: top_terms(sf, k=20),
         "corpus_filter": corpus_filter,
@@ -374,6 +377,7 @@ def build_oracle_sql() -> dict[str, str]:
         "decontaminate": decontaminate_sql(),
         "stratified_sample": stratified_sample_sql(),
         "quality_score_micros": quality_score_micros_sql(),
+        "oov_ratio": oov_ratio_sql(),
         "image_assets": IMAGE_ASSETS_SQL,
         # no oracle (non-SQL-expressible; driver records rows-only):
         #   extract_flagship (cascade; its byte-identity slice IS oracled via

@@ -299,6 +299,82 @@ TOP_TERMS_SQL = r"""
 
 
 # ---------------------------------------------------------------------------
+# corpus-vocabulary OOV scoring (the CCNet-style LM-filter shape)
+# ---------------------------------------------------------------------------
+
+OOV_VOCAB_K = 1000
+
+
+def oov_ratio(sf_dir: str, vocab_k: int = OOV_VOCAB_K) -> "ray.data.Dataset":
+    """(doc_id, oov_micros): fraction of a doc's tokens OUTSIDE the corpus
+    top-``vocab_k`` vocabulary — the integer-exact stand-in for LM-filter
+    quality scoring (CCNet/KenLM shape): a corpus-wide aggregate derives
+    model state (the vocabulary), which broadcasts into a per-doc scoring
+    pass. Two stages, one combiner-backed shuffle for the vocab, then
+    map-only scoring; vocabulary ties break (count DESC, term ASC) exactly
+    as in the SQL oracle."""
+    import ray as _ray
+
+    from datacat_ray.stages.bucketed import cached_ref
+
+    vocab_tbl = top_terms(sf_dir, k=vocab_k)
+    vocab = frozenset(vocab_tbl["term"].to_pylist())
+    ref = _ray.put(vocab)
+
+    def _score(t: pa.Table) -> pa.Table:
+        import math
+
+        v = cached_ref(ref)
+        out = []
+        for text in t["text"].to_pylist():
+            toks = (text or "").split()
+            if not toks:
+                out.append(0)
+                continue
+            oov = sum(1 for w in toks if w not in v)
+            out.append(int(math.floor(oov * 1.0 / len(toks) * 1_000_000 + 0.5)))
+        return pa.Table.from_pydict(
+            {"doc_id": t["doc_id"],
+             "oov_micros": pa.array(out, type=pa.int64())}
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        _score, batch_format="pyarrow"
+    )
+
+
+def oov_ratio_sql(vocab_k: int = OOV_VOCAB_K) -> str:
+    return rf"""
+        WITH vocab AS (
+            SELECT term FROM (
+                SELECT term, COUNT(*) AS n FROM (
+                    SELECT unnest(regexp_split_to_array(text, '\s+')) AS term
+                    FROM documents
+                ) WHERE term <> ''
+                GROUP BY term ORDER BY n DESC, term ASC LIMIT {vocab_k}
+            )
+        ),
+        tok AS (
+            SELECT doc_id, t AS term FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(text, '\s+')) AS t
+                FROM documents
+            ) WHERE t <> ''
+        ),
+        agg AS (
+            SELECT doc_id, COUNT(*) AS n,
+                   SUM(CASE WHEN term IN (SELECT term FROM vocab)
+                            THEN 0 ELSE 1 END) AS oov
+            FROM tok GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(FLOOR(COALESCE(oov * 1.0 / n, 0) * 1000000 + 0.5)
+                    AS BIGINT) AS oov_micros
+        FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
 # eval-set decontamination (broadcast anti-join on fingerprints)
 # ---------------------------------------------------------------------------
 
