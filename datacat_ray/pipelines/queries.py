@@ -384,6 +384,7 @@ def build_oracle_sql() -> dict[str, str]:
         #   extract_text_identity), features_debug (33-field featurizer,
         #   golden-tested), minhash/simhash/ngram/embedding pairs (LSH
         #   banding — the signature arithmetic is out of SQL reach),
+        #   neardup_clusters (components over the LSH pair graph),
         #   knn_ivf (approximate), approx_distinct_users (sketch),
         #   quality_score (float column; the integer mirror
         #   quality_score_micros IS oracled), image_metadata / audio_frames

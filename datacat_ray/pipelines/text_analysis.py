@@ -321,13 +321,17 @@ def oov_ratio(sf_dir: str, vocab_k: int = OOV_VOCAB_K) -> "ray.data.Dataset":
     vocab = frozenset(vocab_tbl["term"].to_pylist())
     ref = _ray.put(vocab)
 
+    # RE2's \s is ASCII-only while Python str.split() is Unicode-aware —
+    # split with the exact RE2 class so exotic whitespace can't diverge
+    ascii_ws = re.compile(r"[ \t\n\r\f\v]+")
+
     def _score(t: pa.Table) -> pa.Table:
         import math
 
         v = cached_ref(ref)
         out = []
         for text in t["text"].to_pylist():
-            toks = (text or "").split()
+            toks = [w for w in ascii_ws.split(text or "") if w]
             if not toks:
                 out.append(0)
                 continue
