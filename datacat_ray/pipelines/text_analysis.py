@@ -26,7 +26,14 @@ import pyarrow.compute as pc
 
 import ray.data
 
-_WS_SPLIT = re.compile(r"\s+")
+# RE2's \s (the class every SQL oracle uses) is ASCII-only, while Python's
+# str.split()/\s are Unicode-aware — tokenize with the literal RE2 class so
+# exotic whitespace (NBSP, U+2028, ...) can never diverge the two sides
+_ASCII_WS = re.compile(r"[ \t\n\r\f\v]+")
+
+
+def ascii_tokens(text: str | None) -> list[str]:
+    return [w for w in _ASCII_WS.split(text or "") if w]
 
 # stopword profiles for the lang-id heuristic (top function words)
 _LANG_STOPWORDS: dict[str, frozenset[str]] = {
@@ -52,7 +59,7 @@ def _read_documents(sf_dir: str, columns: list[str]) -> "ray.data.Dataset":
 
 def _token_count_batch(batch: pa.Table) -> pa.Table:
     texts = batch["text"].to_pylist()
-    counts = [len(t.split()) if t else 0 for t in texts]
+    counts = [len(ascii_tokens(t)) for t in texts]
     return pa.Table.from_pydict(
         {"doc_id": batch["doc_id"], "n_tokens": pa.array(counts, type=pa.int64())}
     )
@@ -146,7 +153,7 @@ def lang_id_text(text: str) -> str:
     """Stopword-profile vote over a ~500-char sample; deterministic
     tie-break (lexicographic language code), fallback ``"fr"``."""
     sample = (text or "")[:_SAMPLE_CHARS].lower()
-    words = _WS_SPLIT.split(sample)
+    words = _ASCII_WS.split(sample)
     best_lang, best_hits = _LANG_FALLBACK, 0
     for lang in sorted(_LANG_STOPWORDS):
         hits = sum(1 for w in words if w in _LANG_STOPWORDS[lang])
@@ -268,7 +275,7 @@ def top_terms(sf_dir: str, k: int = 20) -> pa.Table:
     def _partial_counts(batch: pa.Table) -> pa.Table:
         c: collections.Counter = collections.Counter()
         for t in batch["text"].to_pylist():
-            c.update((t or "").split())
+            c.update(ascii_tokens(t))
         return pa.Table.from_pydict(
             {
                 "term": pa.array(list(c.keys()), type=pa.string()),
@@ -321,17 +328,13 @@ def oov_ratio(sf_dir: str, vocab_k: int = OOV_VOCAB_K) -> "ray.data.Dataset":
     vocab = frozenset(vocab_tbl["term"].to_pylist())
     ref = _ray.put(vocab)
 
-    # RE2's \s is ASCII-only while Python str.split() is Unicode-aware —
-    # split with the exact RE2 class so exotic whitespace can't diverge
-    ascii_ws = re.compile(r"[ \t\n\r\f\v]+")
-
     def _score(t: pa.Table) -> pa.Table:
         import math
 
         v = cached_ref(ref)
         out = []
         for text in t["text"].to_pylist():
-            toks = [w for w in ascii_ws.split(text or "") if w]
+            toks = ascii_tokens(text)
             if not toks:
                 out.append(0)
                 continue
@@ -490,7 +493,7 @@ def top_bigrams(sf_dir: str, k: int = 20) -> pa.Table:
     def _partials(batch: pa.Table) -> pa.Table:
         c: collections.Counter = collections.Counter()
         for t in batch["text"].to_pylist():
-            toks = (t or "").split()
+            toks = ascii_tokens(t)
             c.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
         return pa.Table.from_pydict(
             {
@@ -536,7 +539,7 @@ TOP_BIGRAMS_SQL = r"""
 def quality_features(text: str) -> dict:
     t = text or ""
     n = len(t)
-    words = t.split()
+    words = ascii_tokens(t)
     nw = len(words)
     alpha = sum(1 for c in t if c.isalpha())
     punct = sum(1 for c in t if c in _PUNCT_SET)
@@ -687,8 +690,9 @@ def corpus_filter(sf_dir: str) -> "ray.data.Dataset":
     ds = _read_documents(sf_dir, ["doc_id", "text", "n_chars"])
 
     def _gates(t: pa.Table) -> pa.Table:
-        toks = pa.array([len(x.split()) if x else 0 for x in t["text"].to_pylist()],
-                        type=pa.int64())
+        toks = pa.array(
+            [len(ascii_tokens(x)) for x in t["text"].to_pylist()],
+            type=pa.int64())
         keep = pc.and_(
             pc.and_(
                 pc.greater_equal(toks, pa.scalar(FILTER_MIN_TOKENS, pa.int64())),
@@ -777,7 +781,7 @@ def doc_fingerprint(text: str) -> int:
     """Order-sensitive 64-bit fingerprint over normalized tokens (rolling
     FNV-1a chained across tokens); returned as signed int64."""
     h = _FNV_OFFSET
-    for w in (text or "").lower().split():
+    for w in ascii_tokens((text or "").lower()):
         h = (h ^ fnv1a64(w.encode("utf-8"))) * _FNV_PRIME & _MASK64
         h = ((h << 7) | (h >> 57)) & _MASK64  # rotate: order sensitivity
     return h - (1 << 64) if h >= (1 << 63) else h
