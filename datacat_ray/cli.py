@@ -37,8 +37,27 @@ def _init_ray(num_cpus: int | None) -> None:
 
 def cmd_extract(args) -> int:
     """Checkpointed flagship extraction over a parquet directory
-    (resumable: re-invoking skips completed partitions)."""
+    (resumable: re-invoking skips completed partitions). With
+    ``--format warc`` the input is WARC file(s)/directory (Common-Crawl
+    container) and output streams to partitioned parquet."""
     _init_ray(args.num_cpus)
+
+    if getattr(args, "format", "parquet") == "warc":
+        import os
+
+        from datacat_ray.sources.warc import extract_pages_warc
+
+        paths = args.input
+        if os.path.isdir(paths):
+            paths = sorted(
+                os.path.join(paths, f) for f in os.listdir(paths)
+                if f.endswith((".warc", ".warc.gz"))
+            )
+        ds = extract_pages_warc(paths)
+        ds.write_parquet(args.out)
+        print(json.dumps({"out": args.out, "format": "warc"}))
+        return 0
+
     from datacat_ray.state.manifest import run_extract_job
 
     summary = run_extract_job(
@@ -128,6 +147,7 @@ def main(argv: list[str] | None = None) -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("extract", help=cmd_extract.__doc__)
+    p.add_argument("--format", choices=["parquet", "warc"], default="parquet")
     p.add_argument("input")
     p.add_argument("out")
     p.add_argument("--fragments-per-part", type=int, default=1)

@@ -1,0 +1,80 @@
+"""WARC source (ISO 28500 / Common-Crawl container): writer, parser, Ray
+reader, and end-to-end extraction over WARC input."""
+
+from __future__ import annotations
+
+import random
+
+from datacat_ray.fixtures import make_catalogue_html
+from datacat_ray.sources.warc import (
+    parse_warc_bytes,
+    read_warc,
+    write_warc,
+)
+
+
+def _records(seed: int, n: int, base_ts: int = 1_700_000_000_000_000):
+    rng = random.Random(seed)
+    recs, mains = [], {}
+    for i in range(n):
+        html, main = make_catalogue_html(rng, n_entries=3)
+        url = f"https://warc.example.org/{i}"
+        recs.append(
+            {"url": url, "warc_ts": base_ts + i * 1_000_000,
+             "html": html.encode("utf-8")}
+        )
+        mains[url] = main
+    return recs, mains
+
+
+def test_warc_roundtrip_bytes(tmp_path):
+    """write → parse round-trips url, timestamp, and html byte-exactly,
+    gzipped (per-record members) and plain."""
+    recs, _ = _records(3, 5)
+    for compress in (True, False):
+        p = str(tmp_path / f"t{compress}.warc.gz")
+        write_warc(p, recs, compress=compress)
+        got = parse_warc_bytes(open(p, "rb").read())
+        assert [(r["url"], r["warc_ts"], r["html"]) for r in got] == [
+            (r["url"], r["warc_ts"], r["html"]) for r in recs
+        ]
+
+
+def test_warc_parser_robustness():
+    assert parse_warc_bytes(b"") == []
+    assert parse_warc_bytes(b"not a warc at all") == []
+    # a non-response record (warcinfo) is skipped
+    info = (b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n"
+            b"\r\nabcd\r\n\r\n")
+    assert parse_warc_bytes(info) == []
+
+
+def test_read_warc_dataset_and_extraction(ray_session, tmp_path):
+    """Ray reader produces pages-schema rows; the flagship cascade over
+    WARC input recovers the main text and keep-latest dedups duplicate
+    captures across files."""
+    from datacat_ray.sources.warc import extract_pages_warc
+
+    recs, mains = _records(7, 6)
+    f1 = str(tmp_path / "a.warc.gz")
+    write_warc(f1, recs[:4])
+    # second file re-captures url 0 LATER with different content
+    rng = random.Random(99)
+    html2, main2 = make_catalogue_html(rng, n_entries=2)
+    recap = {"url": recs[0]["url"],
+             "warc_ts": recs[0]["warc_ts"] + 50_000_000,
+             "html": html2.encode("utf-8")}
+    f2 = str(tmp_path / "b.warc.gz")
+    write_warc(f2, recs[4:] + [recap])
+
+    ds = read_warc([f1, f2])
+    rows = ds.take_all()
+    assert len(rows) == 7
+    assert all(r["html"] for r in rows)
+
+    out = extract_pages_warc([f1, f2]).take_all()
+    assert len(out) == 6  # dedup: 7 captures → 6 urls
+    got = {r["url"]: r["main_text"] for r in out}
+    assert got[recs[0]["url"]] == main2  # latest capture wins
+    for r in recs[1:]:
+        assert got[r["url"]] == mains[r["url"]]
