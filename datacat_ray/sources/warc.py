@@ -154,3 +154,99 @@ def extract_pages_warc(paths, cfg=None) -> "ray.data.Dataset":
     from datacat_ray.pipelines.extract import build_extract_pipeline
 
     return build_extract_pipeline(read_warc(paths), cfg or PipelineConfig())
+
+
+# ---------------------------------------------------------------------------
+# WET sink: Common-Crawl's extracted-plain-text format (WARC conversion
+# records) — the canonical output of a main-content extraction pipeline
+# ---------------------------------------------------------------------------
+
+
+def _wet_record(url: str, ts_us: int, text: str) -> bytes:
+    body = text.encode("utf-8")
+    return (
+        b"WARC/1.0" + _CRLF
+        + b"WARC-Type: conversion" + _CRLF
+        + f"WARC-Target-URI: {url}".encode() + _CRLF
+        + f"WARC-Date: {_warc_date(ts_us)}".encode() + _CRLF
+        + b"Content-Type: text/plain" + _CRLF
+        + f"Content-Length: {len(body)}".encode() + _CRLF
+        + _CRLF
+        + body
+        + _CRLF + _CRLF
+    )
+
+
+def parse_wet_bytes(data: bytes) -> list[dict]:
+    """WET bytes → [{url, warc_ts, text}] from conversion records."""
+    if data[:2] == b"\x1f\x8b":
+        data = gzip.GzipFile(fileobj=io.BytesIO(data)).read()
+    out = []
+    pos, n = 0, len(data)
+    while pos < n:
+        while pos < n and data[pos : pos + 2] == _CRLF:
+            pos += 2
+        if pos >= n:
+            break
+        head_end = data.find(_CRLF + _CRLF, pos)
+        if head_end < 0:
+            break
+        lines = data[pos : head_end].decode("utf-8", "replace").split("\r\n")
+        if not lines[0].startswith("WARC/"):
+            break
+        hdr = {}
+        for ln in lines[1:]:
+            if ":" in ln:
+                k, v = ln.split(":", 1)
+                hdr[k.strip().lower()] = v.strip()
+        length = int(hdr.get("content-length", "0"))
+        payload = data[head_end + 4 : head_end + 4 + length]
+        pos = head_end + 4 + length
+        if hdr.get("warc-type") != "conversion":
+            continue
+        try:
+            ts = _parse_warc_date(hdr.get("warc-date", ""))
+        except ValueError:
+            ts = 0
+        out.append(
+            {"url": hdr.get("warc-target-uri", ""), "warc_ts": ts,
+             "text": payload.decode("utf-8", "replace")}
+        )
+    return out
+
+
+def write_wet(ds, out_dir: str, compress: bool = True) -> list[dict]:
+    """Distributed WET sink: each Arrow block of (url, warc_ts, main_text)
+    writes its own ``part-<sha>.warc.wet[.gz]`` shard (atomic rename,
+    shard name derived from the block's url set — a re-run overwrites the
+    same shard rather than duplicating). Returns the shard manifest."""
+    import hashlib
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write(t: pa.Table) -> pa.Table:
+        urls = t["url"].to_pylist()
+        tss = t["warc_ts"].to_pylist()
+        texts = t["main_text"].to_pylist()
+        blob = io.BytesIO()
+        for u, ts, tx in zip(urls, tss, texts):
+            ts_us = (
+                int(ts.timestamp() * 1_000_000)
+                if hasattr(ts, "timestamp") else int(ts or 0)
+            )
+            rec = _wet_record(u, ts_us, tx or "")
+            blob.write(gzip.compress(rec) if compress else rec)
+        sha = hashlib.sha1("\n".join(sorted(urls)).encode()).hexdigest()[:12]
+        ext = ".warc.wet.gz" if compress else ".warc.wet"
+        name = f"part-{sha}{ext}"
+        tmp = os.path.join(out_dir, f".tmp.{name}.{os.getpid()}")
+        with open(tmp, "wb") as fh:
+            fh.write(blob.getvalue())
+        os.replace(tmp, os.path.join(out_dir, name))
+        return pa.Table.from_pydict(
+            {"shard": [name], "n_records": pa.array([len(urls)], pa.int64())}
+        )
+
+    shards = ds.map_batches(_write, batch_format="pyarrow").take_all()
+    return shards

@@ -78,3 +78,29 @@ def test_read_warc_dataset_and_extraction(ray_session, tmp_path):
     assert got[recs[0]["url"]] == main2  # latest capture wins
     for r in recs[1:]:
         assert got[r["url"]] == mains[r["url"]]
+
+
+def test_wet_sink_roundtrip(ray_session, tmp_path):
+    """WARC in → cascade → WET out: conversion records round-trip the
+    extracted main text byte-exactly."""
+    import glob
+    import os
+
+    from datacat_ray.sources.warc import (
+        extract_pages_warc,
+        parse_wet_bytes,
+        write_wet,
+    )
+
+    recs, mains = _records(11, 5)
+    f = str(tmp_path / "seg.warc.gz")
+    write_warc(f, recs)
+    out = str(tmp_path / "wet")
+    ds = extract_pages_warc([f]).select_columns(["url", "warc_ts", "main_text"])
+    shards = write_wet(ds, out)
+    assert sum(s["n_records"] for s in shards) == 5
+    got = {}
+    for p in glob.glob(os.path.join(out, "*.warc.wet.gz")):
+        for r in parse_wet_bytes(open(p, "rb").read()):
+            got[r["url"]] = r["text"]
+    assert got == mains
