@@ -54,8 +54,17 @@ def cmd_extract(args) -> int:
                 if f.endswith((".warc", ".warc.gz"))
             )
         ds = extract_pages_warc(paths)
-        ds.write_parquet(args.out)
-        print(json.dumps({"out": args.out, "format": "warc"}))
+        if getattr(args, "output_format", "parquet") == "wet":
+            from datacat_ray.sources.warc import write_wet
+
+            shards = write_wet(
+                ds.select_columns(["url", "warc_ts", "main_text"]), args.out
+            )
+            print(json.dumps({"out": args.out, "format": "warc",
+                              "output": "wet", "shards": len(shards)}))
+        else:
+            ds.write_parquet(args.out)
+            print(json.dumps({"out": args.out, "format": "warc"}))
         return 0
 
     from datacat_ray.state.manifest import run_extract_job
@@ -148,6 +157,8 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser("extract", help=cmd_extract.__doc__)
     p.add_argument("--format", choices=["parquet", "warc"], default="parquet")
+    p.add_argument("--output-format", choices=["parquet", "wet"],
+                   default="parquet")
     p.add_argument("input")
     p.add_argument("out")
     p.add_argument("--fragments-per-part", type=int, default=1)

@@ -104,3 +104,44 @@ def test_wet_sink_roundtrip(ray_session, tmp_path):
         for r in parse_wet_bytes(open(p, "rb").read()):
             got[r["url"]] = r["text"]
     assert got == mains
+
+
+def test_warc_parser_fuzz_roundtrip():
+    """Property: arbitrary (url, ts, binary html) records round-trip
+    through write_warc/parse_warc_bytes, both compressions."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    url_st = st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=126,
+                               exclude_characters=":"),
+        min_size=1, max_size=30,
+    ).map(lambda s: "https://h/" + s)
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(url_st,
+                      st.integers(min_value=0, max_value=2**40),
+                      st.binary(max_size=500)),
+            min_size=0, max_size=5,
+        ),
+        st.booleans(),
+    )
+    def prop(rows, compress):
+        recs = [
+            {"url": u, "warc_ts": (ts // 1_000_000) * 1_000_000, "html": h}
+            for u, ts, h in rows
+        ]
+        buf_path = None
+        import tempfile
+
+        with tempfile.NamedTemporaryFile(delete=False) as fh:
+            buf_path = fh.name
+        write_warc(buf_path, recs, compress=compress)
+        got = parse_warc_bytes(open(buf_path, "rb").read())
+        assert [(r["url"], r["warc_ts"], r["html"]) for r in got] == [
+            (r["url"], r["warc_ts"], r["html"]) for r in recs
+        ]
+
+    prop()
