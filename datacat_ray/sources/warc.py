@@ -114,35 +114,147 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
     return out
 
 
-def read_warc(paths) -> "ray.data.Dataset":
-    """WARC file(s) → Dataset in the pages schema (url, warc_ts, html,
-    text, lang). One parse task per file; records stream onward as Arrow
-    batches from there."""
-    import ray.data
+def _read_exact(stream, n: int) -> bytes:
+    """Read exactly n bytes (file-like objects may short-read)."""
+    chunks = []
+    while n > 0:
+        b = stream.read(n)
+        if not b:
+            break
+        chunks.append(b)
+        n -= len(b)
+    return b"".join(chunks)
 
+
+def _read_header_block(stream) -> bytes | None:
+    """Read lines up to the blank line ending a WARC header block
+    (skipping leading record-separator blank lines); None at EOF."""
+    while True:  # skip inter-record separators
+        line = stream.readline()
+        if not line:
+            return None
+        if line.strip():
+            break
+    lines = [line]
+    while True:
+        line = stream.readline()
+        if not line or not line.strip():
+            return b"".join(lines)
+        lines.append(line)
+
+
+def iter_warc_records(stream):
+    """Incrementally yield {url, warc_ts, html} response records from a
+    DECOMPRESSED WARC byte stream — constant memory per record, never the
+    whole file."""
+    while True:
+        head = _read_header_block(stream)
+        if head is None:
+            return
+        lines = head.decode("utf-8", errors="replace").split("\r\n")
+        if not lines[0].startswith("WARC/"):
+            return
+        hdr = {}
+        for ln in lines[1:]:
+            if ":" in ln:
+                k, v = ln.split(":", 1)
+                hdr[k.strip().lower()] = v.strip()
+        length = int(hdr.get("content-length", "0"))
+        payload = _read_exact(stream, length)
+        if hdr.get("warc-type") != "response":
+            continue
+        body_at = payload.find(_CRLF + _CRLF)
+        html = payload[body_at + 4 :] if body_at >= 0 else b""
+        try:
+            ts = _parse_warc_date(hdr.get("warc-date", ""))
+        except ValueError:
+            ts = 0
+        yield {
+            "url": hdr.get("warc-target-uri", ""), "warc_ts": ts, "html": html
+        }
+
+
+class WarcDatasource:
+    """Streaming WARC datasource: each file is read as a stream and
+    records batch out incrementally (``records_per_block`` rows per Arrow
+    block), so a 1 GB Common-Crawl segment never has to fit a worker heap
+    — the scale-true read path. Gzip (member-per-record, the CC layout)
+    is detected by magic and decompressed on the fly."""
+
+    def __new__(cls, paths, records_per_block: int = 256):
+        from ray.data.datasource import FileBasedDatasource
+
+        class _Impl(FileBasedDatasource):
+            _FILE_EXTENSIONS = None  # accept any listed path
+
+            def _read_stream(self, f, path):
+                import gzip as _gz
+
+                head = f.read(2)
+                buffered = io.BufferedReader(_RawChain(head, f))
+                if head == b"\x1f\x8b":
+                    stream = _gz.GzipFile(fileobj=buffered)
+                else:
+                    stream = buffered
+                batch: list[dict] = []
+                for rec in iter_warc_records(stream):
+                    batch.append(rec)
+                    if len(batch) >= records_per_block:
+                        yield _records_table(batch)
+                        batch = []
+                if batch:
+                    yield _records_table(batch)
+
+        return _Impl(paths)
+
+
+class _RawChain(io.RawIOBase):
+    """Prepend already-read sniff bytes back onto a stream; RawIOBase so
+    ``io.BufferedReader`` supplies efficient read()/readline() on top."""
+
+    def __init__(self, head: bytes, f):
+        self._head = head
+        self._f = f
+
+    def readable(self) -> bool:
+        return True
+
+    def readinto(self, b) -> int:
+        if self._head:
+            n = min(len(b), len(self._head))
+            b[:n] = self._head[:n]
+            self._head = self._head[n:]
+            return n
+        data = self._f.read(len(b))
+        if not data:
+            return 0
+        b[: len(data)] = data
+        return len(data)
+
+
+def _records_table(recs: list[dict]) -> pa.Table:
     from datacat_ray.fixtures import PAGES_SCHEMA
 
-    ds = ray.data.read_binary_files(paths)
+    return pa.Table.from_pydict(
+        {
+            "url": [r["url"] for r in recs],
+            "warc_ts": [r["warc_ts"] for r in recs],
+            "html": [r["html"] for r in recs],
+            "text": [None] * len(recs),
+            "lang": [None] * len(recs),
+        },
+        schema=PAGES_SCHEMA,
+    )
 
-    def _parse(batch: pa.Table) -> pa.Table:
-        urls, tss, htmls = [], [], []
-        for blob in batch["bytes"].to_pylist():
-            for r in parse_warc_bytes(blob):
-                urls.append(r["url"])
-                tss.append(r["warc_ts"])
-                htmls.append(r["html"])
-        return pa.Table.from_pydict(
-            {
-                "url": urls,
-                "warc_ts": tss,
-                "html": htmls,
-                "text": [None] * len(urls),
-                "lang": [None] * len(urls),
-            },
-            schema=PAGES_SCHEMA,
-        )
 
-    return ds.map_batches(_parse, batch_format="pyarrow", batch_size=1)
+def read_warc(paths, records_per_block: int = 256) -> "ray.data.Dataset":
+    """WARC file(s) → Dataset in the pages schema (url, warc_ts, html,
+    text, lang), streamed record-by-record via ``WarcDatasource``."""
+    import ray.data
+
+    return ray.data.read_datasource(
+        WarcDatasource(paths, records_per_block=records_per_block)
+    )
 
 
 def extract_pages_warc(paths, cfg=None) -> "ray.data.Dataset":

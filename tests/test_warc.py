@@ -145,3 +145,26 @@ def test_warc_parser_fuzz_roundtrip():
         ]
 
     prop()
+
+
+def test_streaming_datasource_matches_whole_file_parse(ray_session, tmp_path):
+    """The streaming datasource (small records_per_block forces multiple
+    yielded blocks per file) produces exactly the records the whole-file
+    parser sees."""
+    from datacat_ray.sources.warc import read_warc
+
+    recs, _ = _records(19, 9)
+    f = str(tmp_path / "big.warc.gz")
+    write_warc(f, recs)
+    f2 = str(tmp_path / "plain.warc")
+    write_warc(f2, recs[:3], compress=False)
+
+    ds = read_warc([f, f2], records_per_block=2)
+    rows = sorted(
+        (r["url"], r["html"]) for r in ds.take_all()
+    )
+    want = sorted(
+        [(r["url"], r["html"]) for r in recs]
+        + [(r["url"], r["html"]) for r in recs[:3]]
+    )
+    assert rows == want
