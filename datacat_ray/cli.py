@@ -42,17 +42,30 @@ def cmd_extract(args) -> int:
     container) and output streams to partitioned parquet."""
     _init_ray(args.num_cpus)
 
+    if getattr(args, "output_format", "parquet") == "wet" and \
+            getattr(args, "format", "parquet") != "warc":
+        print("--output-format wet requires --format warc", file=sys.stderr)
+        return 2
+
     if getattr(args, "format", "parquet") == "warc":
         import os
 
         from datacat_ray.sources.warc import extract_pages_warc
 
+        if args.no_dedup or args.fragments_per_part != 1:
+            print("note: --no-dedup/--fragments-per-part apply to the "
+                  "parquet manifest path only; warc input always dedups",
+                  file=sys.stderr)
         paths = args.input
         if os.path.isdir(paths):
             paths = sorted(
                 os.path.join(paths, f) for f in os.listdir(paths)
-                if f.endswith((".warc", ".warc.gz"))
+                if f.lower().endswith((".warc", ".warc.gz"))
             )
+            if not paths:
+                print(f"no *.warc / *.warc.gz files found in {args.input}",
+                      file=sys.stderr)
+                return 2
         ds = extract_pages_warc(paths)
         if getattr(args, "output_format", "parquet") == "wet":
             from datacat_ray.sources.warc import write_wet

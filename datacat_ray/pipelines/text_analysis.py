@@ -26,10 +26,11 @@ import pyarrow.compute as pc
 
 import ray.data
 
-# RE2's \s (the class every SQL oracle uses) is ASCII-only, while Python's
-# str.split()/\s are Unicode-aware — tokenize with the literal RE2 class so
-# exotic whitespace (NBSP, U+2028, ...) can never diverge the two sides
-_ASCII_WS = re.compile(r"[ \t\n\r\f\v]+")
+# RE2's \s (the class every SQL oracle uses) is exactly [ \t\n\f\r] —
+# NO vertical tab, and none of Python's Unicode whitespace (NBSP, U+2028,
+# ...). Tokenize with the literal RE2 class so the two sides can never
+# diverge on exotic whitespace.
+_ASCII_WS = re.compile(r"[ \t\n\r\f]+")
 
 
 def ascii_tokens(text: str | None) -> list[str]:

@@ -35,8 +35,19 @@ def _warc_date(ts_us: int) -> str:
 
 
 def _parse_warc_date(s: str) -> int:
-    dt = datetime.datetime.strptime(s.strip(), "%Y-%m-%dT%H:%M:%SZ")
-    return int((dt - datetime.datetime(1970, 1, 1)).total_seconds()) * 1_000_000
+    """WARC-Date → epoch µs; accepts WARC 1.0 whole-second and WARC 1.1
+    fractional-second forms. Epoch math on naive datetimes — never
+    ``.timestamp()``, which would shift by the host's local timezone."""
+    s = s.strip()
+    for fmt in ("%Y-%m-%dT%H:%M:%SZ", "%Y-%m-%dT%H:%M:%S.%fZ"):
+        try:
+            dt = datetime.datetime.strptime(s, fmt)
+        except ValueError:
+            continue
+        return (dt - datetime.datetime(1970, 1, 1)) // datetime.timedelta(
+            microseconds=1
+        )
+    raise ValueError(f"unparseable WARC-Date: {s!r}")
 
 
 def write_warc(path: str, records: list[dict], compress: bool = True) -> str:
@@ -72,46 +83,12 @@ def write_warc(path: str, records: list[dict], compress: bool = True) -> str:
 
 def parse_warc_bytes(data: bytes) -> list[dict]:
     """Parse WARC bytes (gzip members or plain) → list of
-    {url, warc_ts (µs int), html (bytes)} from response records."""
+    {url, warc_ts (µs int), html (bytes)} from response records. Thin
+    wrapper over the streaming iterator — ONE parser for both paths."""
     if data[:2] == b"\x1f\x8b":
         # concatenated gzip members: GzipFile reads through all of them
-        data = gzip.GzipFile(fileobj=io.BytesIO(data)).read()
-    out: list[dict] = []
-    pos = 0
-    n = len(data)
-    while pos < n:
-        # skip inter-record padding
-        while pos < n and data[pos : pos + 2] == _CRLF:
-            pos += 2
-        if pos >= n:
-            break
-        head_end = data.find(_CRLF + _CRLF, pos)
-        if head_end < 0:
-            break
-        head = data[pos : head_end].decode("utf-8", errors="replace")
-        lines = head.split("\r\n")
-        if not lines[0].startswith("WARC/"):
-            break
-        hdr = {}
-        for ln in lines[1:]:
-            if ":" in ln:
-                k, v = ln.split(":", 1)
-                hdr[k.strip().lower()] = v.strip()
-        length = int(hdr.get("content-length", "0"))
-        payload = data[head_end + 4 : head_end + 4 + length]
-        pos = head_end + 4 + length
-        if hdr.get("warc-type") != "response":
-            continue
-        body_at = payload.find(_CRLF + _CRLF)
-        html = payload[body_at + 4 :] if body_at >= 0 else b""
-        try:
-            ts = _parse_warc_date(hdr.get("warc-date", ""))
-        except ValueError:
-            ts = 0
-        out.append(
-            {"url": hdr.get("warc-target-uri", ""), "warc_ts": ts, "html": html}
-        )
-    return out
+        return list(iter_warc_records(gzip.GzipFile(fileobj=io.BytesIO(data))))
+    return list(iter_warc_records(io.BytesIO(data)))
 
 
 def _read_exact(stream, n: int) -> bytes:
@@ -143,10 +120,11 @@ def _read_header_block(stream) -> bytes | None:
         lines.append(line)
 
 
-def iter_warc_records(stream):
-    """Incrementally yield {url, warc_ts, html} response records from a
-    DECOMPRESSED WARC byte stream — constant memory per record, never the
-    whole file."""
+def _iter_raw_records(stream):
+    """Incrementally yield (headers dict, payload bytes) per WARC record
+    from a DECOMPRESSED stream — constant memory per record. A malformed
+    Content-Length ends the file gracefully (framing is unrecoverable
+    past it) instead of raising out of the read task."""
     while True:
         head = _read_header_block(stream)
         if head is None:
@@ -159,8 +137,17 @@ def iter_warc_records(stream):
             if ":" in ln:
                 k, v = ln.split(":", 1)
                 hdr[k.strip().lower()] = v.strip()
-        length = int(hdr.get("content-length", "0"))
-        payload = _read_exact(stream, length)
+        try:
+            length = int(hdr.get("content-length", "0"))
+        except ValueError:
+            return
+        yield hdr, _read_exact(stream, length)
+
+
+def iter_warc_records(stream):
+    """Incrementally yield {url, warc_ts, html} response records from a
+    DECOMPRESSED WARC byte stream (the single shared record parser)."""
+    for hdr, payload in _iter_raw_records(stream):
         if hdr.get("warc-type") != "response":
             continue
         body_at = payload.find(_CRLF + _CRLF)
@@ -290,30 +277,14 @@ def _wet_record(url: str, ts_us: int, text: str) -> bytes:
 
 
 def parse_wet_bytes(data: bytes) -> list[dict]:
-    """WET bytes → [{url, warc_ts, text}] from conversion records."""
+    """WET bytes → [{url, warc_ts, text}] from conversion records (shared
+    record parser, conversion filter + text decode)."""
     if data[:2] == b"\x1f\x8b":
-        data = gzip.GzipFile(fileobj=io.BytesIO(data)).read()
+        stream = gzip.GzipFile(fileobj=io.BytesIO(data))
+    else:
+        stream = io.BytesIO(data)
     out = []
-    pos, n = 0, len(data)
-    while pos < n:
-        while pos < n and data[pos : pos + 2] == _CRLF:
-            pos += 2
-        if pos >= n:
-            break
-        head_end = data.find(_CRLF + _CRLF, pos)
-        if head_end < 0:
-            break
-        lines = data[pos : head_end].decode("utf-8", "replace").split("\r\n")
-        if not lines[0].startswith("WARC/"):
-            break
-        hdr = {}
-        for ln in lines[1:]:
-            if ":" in ln:
-                k, v = ln.split(":", 1)
-                hdr[k.strip().lower()] = v.strip()
-        length = int(hdr.get("content-length", "0"))
-        payload = data[head_end + 4 : head_end + 4 + length]
-        pos = head_end + 4 + length
+    for hdr, payload in _iter_raw_records(stream):
         if hdr.get("warc-type") != "conversion":
             continue
         try:
@@ -327,12 +298,19 @@ def parse_wet_bytes(data: bytes) -> list[dict]:
     return out
 
 
+_EPOCH = datetime.datetime(1970, 1, 1)
+
+
 def write_wet(ds, out_dir: str, compress: bool = True) -> list[dict]:
     """Distributed WET sink: each Arrow block of (url, warc_ts, main_text)
     writes its own ``part-<sha>.warc.wet[.gz]`` shard (atomic rename,
-    shard name derived from the block's url set — a re-run overwrites the
-    same shard rather than duplicating). Returns the shard manifest."""
+    shard name derived from the block's url set). After all shards land, a
+    ``wet_manifest.json`` is published atomically and any ``*.warc.wet*``
+    file NOT in it is removed — a re-run with different block boundaries
+    cannot leave stale shards that duplicate records. Returns the shard
+    list."""
     import hashlib
+    import json
     import os
 
     os.makedirs(out_dir, exist_ok=True)
@@ -343,10 +321,12 @@ def write_wet(ds, out_dir: str, compress: bool = True) -> list[dict]:
         texts = t["main_text"].to_pylist()
         blob = io.BytesIO()
         for u, ts, tx in zip(urls, tss, texts):
-            ts_us = (
-                int(ts.timestamp() * 1_000_000)
-                if hasattr(ts, "timestamp") else int(ts or 0)
-            )
+            if hasattr(ts, "timestamp"):
+                # naive UTC datetime: epoch math, never .timestamp()
+                # (which reinterprets in the host's LOCAL timezone)
+                ts_us = (ts - _EPOCH) // datetime.timedelta(microseconds=1)
+            else:
+                ts_us = int(ts or 0)
             rec = _wet_record(u, ts_us, tx or "")
             blob.write(gzip.compress(rec) if compress else rec)
         sha = hashlib.sha1("\n".join(sorted(urls)).encode()).hexdigest()[:12]
@@ -361,4 +341,12 @@ def write_wet(ds, out_dir: str, compress: bool = True) -> list[dict]:
         )
 
     shards = ds.map_batches(_write, batch_format="pyarrow").take_all()
+    live = {s["shard"] for s in shards}
+    mtmp = os.path.join(out_dir, f".tmp.wet_manifest.json.{os.getpid()}")
+    with open(mtmp, "w") as fh:
+        json.dump(sorted(live), fh, indent=1)
+    os.replace(mtmp, os.path.join(out_dir, "wet_manifest.json"))
+    for f in os.listdir(out_dir):
+        if ".warc.wet" in f and f not in live and not f.startswith(".tmp."):
+            os.unlink(os.path.join(out_dir, f))
     return shards

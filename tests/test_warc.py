@@ -133,16 +133,19 @@ def test_warc_parser_fuzz_roundtrip():
             {"url": u, "warc_ts": (ts // 1_000_000) * 1_000_000, "html": h}
             for u, ts, h in rows
         ]
-        buf_path = None
+        import os
         import tempfile
 
         with tempfile.NamedTemporaryFile(delete=False) as fh:
             buf_path = fh.name
-        write_warc(buf_path, recs, compress=compress)
-        got = parse_warc_bytes(open(buf_path, "rb").read())
-        assert [(r["url"], r["warc_ts"], r["html"]) for r in got] == [
-            (r["url"], r["warc_ts"], r["html"]) for r in recs
-        ]
+        try:
+            write_warc(buf_path, recs, compress=compress)
+            got = parse_warc_bytes(open(buf_path, "rb").read())
+            assert [(r["url"], r["warc_ts"], r["html"]) for r in got] == [
+                (r["url"], r["warc_ts"], r["html"]) for r in recs
+            ]
+        finally:
+            os.unlink(buf_path)
 
     prop()
 
@@ -168,3 +171,70 @@ def test_streaming_datasource_matches_whole_file_parse(ray_session, tmp_path):
         + [(r["url"], r["html"]) for r in recs[:3]]
     )
     assert rows == want
+
+
+def test_warc_date_fractional_and_malformed_length():
+    from datacat_ray.sources.warc import _parse_warc_date, parse_warc_bytes
+
+    assert _parse_warc_date("2023-11-14T22:13:20Z") == 1_699_999_980 * 0 + \
+        _parse_warc_date("2023-11-14T22:13:20.000000Z")
+    assert (_parse_warc_date("2023-11-14T22:13:20.123Z")
+            - _parse_warc_date("2023-11-14T22:13:20Z")) == 123_000
+    # malformed Content-Length ends the file gracefully, keeping records
+    # parsed so far
+    good = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: https://a\r\n"
+            b"WARC-Date: 2020-01-01T00:00:00Z\r\n"
+            b"Content-Length: 8\r\n\r\n\r\n\r\nBODY\r\n\r\n")
+    bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"Content-Length: 12ab\r\n\r\nxxxx\r\n\r\n")
+    out = parse_warc_bytes(good + bad)
+    assert len(out) == 1 and out[0]["html"] == b"BODY"
+
+
+def test_wet_rerun_removes_stale_shards(ray_session, tmp_path):
+    """A re-run with different block boundaries must not leave stale WET
+    shards behind (manifest-driven cleanup)."""
+    import glob
+    import os
+
+    import ray.data
+
+    from datacat_ray.sources.warc import parse_wet_bytes, write_wet
+
+    def pages(n):
+        import pyarrow as pa
+
+        return ray.data.from_arrow(pa.table({
+            "url": [f"https://u/{i}" for i in range(n)],
+            "warc_ts": pa.array([1_700_000_000_000_000 + i for i in range(n)],
+                                pa.int64()),
+            "main_text": [f"text {i}" for i in range(n)],
+        }))
+
+    out = str(tmp_path / "wet")
+    write_wet(pages(6).repartition(3), out)
+    first = set(glob.glob(os.path.join(out, "*.warc.wet*")))
+    write_wet(pages(6).repartition(2), out)  # different boundaries
+    second = set(glob.glob(os.path.join(out, "*.warc.wet*")))
+    got = {}
+    for p in second:
+        for r in parse_wet_bytes(open(p, "rb").read()):
+            got[r["url"]] = r["text"]
+    assert len(got) == 6  # every url exactly once — no stale duplicates
+    assert not (first & second) or len(second) == 2
+
+
+def test_ascii_ws_matches_re2_class():
+    """\\x0b (vertical tab) is NOT RE2 whitespace — the shared tokenizer
+    must agree with DuckDB's regexp split exactly."""
+    import duckdb
+
+    from datacat_ray.pipelines.text_analysis import ascii_tokens
+
+    s = "a\x0bb c d"
+    py = ascii_tokens(s)
+    con = duckdb.connect()
+    sql = [t for t in con.execute(
+        r"SELECT regexp_split_to_array(?, '\s+')", [s]).fetchone()[0] if t]
+    assert py == sql == ["a\x0bb", "c d"]
