@@ -74,12 +74,20 @@ from datacat_ray.pipelines.similarity import (
     ivf_topk,
     multi_query_topk,
 )
+from datacat_ray.pipelines.packing import (
+    pack_sequences,
+    pack_sequences_sql,
+)
 from datacat_ray.pipelines.text_analysis import (
     CORPUS_FILTER_SQL,
     REDACT_PII_SQL,
+    REPETITION_STATS_SQL,
     TOKEN_COUNT_BPE_SQL,
     TOP_BIGRAMS_SQL,
     TOP_TERMS_SQL,
+    repetition_stats,
+    source_cap_sample,
+    source_cap_sample_sql,
     decontaminate,
     decontaminate_sql,
     oov_ratio,
@@ -243,6 +251,9 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": quality_score,
         "quality_score_micros": quality_score_micros,
         "fingerprint": fingerprint,
+        "repetition_stats": repetition_stats,
+        "source_cap_sample": source_cap_sample,
+        "pack_sequences": pack_sequences,
         # trainer-side ops (SURVEY §2.6 O3, §2.5 A5)
         "train_eval_split": train_eval_split,
         "quality_band_eval": quality_band_eval,
@@ -379,6 +390,9 @@ def build_oracle_sql() -> dict[str, str]:
         "quality_score_micros": quality_score_micros_sql(),
         "oov_ratio": oov_ratio_sql(),
         "image_assets": IMAGE_ASSETS_SQL,
+        "repetition_stats": REPETITION_STATS_SQL,
+        "source_cap_sample": source_cap_sample_sql(),
+        "pack_sequences": pack_sequences_sql(),
         # no oracle (non-SQL-expressible; driver records rows-only):
         #   extract_flagship (cascade; its byte-identity slice IS oracled via
         #   extract_text_identity), features_debug (33-field featurizer,

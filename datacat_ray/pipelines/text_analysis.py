@@ -799,3 +799,132 @@ def fingerprint(sf_dir: str) -> "ray.data.Dataset":
     return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         _fingerprint_batch, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition stats (Gopher-style quality signals)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats_row(text: str | None) -> tuple[int, int, int, int, int]:
+    """(n_words, n_distinct_words, top_word_count, n_bigrams,
+    top_bigram_count) — the integer repetition signals behind Gopher-style
+    quality gates (duplicate-word fraction = 1 - distinct/total; top-bigram
+    fraction = top_bigram_count/n_bigrams). Integers only so the oracle
+    value-hash is float-free."""
+    from collections import Counter
+
+    words = ascii_tokens(text)
+    n = len(words)
+    if n == 0:
+        return 0, 0, 0, 0, 0
+    wc = Counter(words)
+    if n == 1:
+        return 1, 1, 1, 0, 0
+    bc = Counter(zip(words, words[1:]))
+    return n, len(wc), max(wc.values()), n - 1, max(bc.values())
+
+
+def _repetition_batch(batch: pa.Table) -> pa.Table:
+    rows = [repetition_stats_row(t) for t in batch["text"].to_pylist()]
+    cols = list(zip(*rows)) if rows else ([], [], [], [], [])
+    names = ["n_words", "n_distinct_words", "top_word_count", "n_bigrams",
+             "top_bigram_count"]
+    out = {"doc_id": batch["doc_id"]}
+    for name, col in zip(names, cols):
+        out[name] = pa.array(col, type=pa.int64())
+    return pa.Table.from_pydict(out)
+
+
+def repetition_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Per-doc repetition/quality signals (Gopher rules 'fraction of
+    duplicated words' and 'fraction of characters in the most common
+    n-gram' — the crawl-corpus repetition filters). Embarrassingly
+    parallel; one narrow read, no shuffle."""
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        _repetition_batch, batch_format="pyarrow"
+    )
+
+
+REPETITION_STATS_SQL = r"""
+    WITH base AS (
+        SELECT doc_id,
+               CASE WHEN text IS NULL OR trim(text) = ''
+                    THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
+        FROM documents
+    ), wc AS (
+        SELECT doc_id,
+               CAST(SUM(cnt) AS BIGINT) AS n_words,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+               CAST(MAX(cnt) AS BIGINT) AS top_word_count
+        FROM (SELECT doc_id, word, COUNT(*) AS cnt
+              FROM (SELECT doc_id, unnest(ws) AS word FROM base)
+              GROUP BY doc_id, word)
+        GROUP BY doc_id
+    ), bg AS (
+        SELECT doc_id,
+               CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+               CAST(MAX(cnt) AS BIGINT) AS top_bigram_count
+        FROM (SELECT doc_id, w1, w2, COUNT(*) AS cnt
+              FROM (SELECT doc_id, b[1] AS w1, b[2] AS w2
+                    FROM (SELECT doc_id, unnest(list_zip(ws, ws[2:])) AS b
+                          FROM base))
+              WHERE w2 IS NOT NULL
+              GROUP BY doc_id, w1, w2)
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(wc.n_words, 0)           AS n_words,
+           COALESCE(wc.n_distinct_words, 0)  AS n_distinct_words,
+           COALESCE(wc.top_word_count, 0)    AS top_word_count,
+           COALESCE(bg.n_bigrams, 0)         AS n_bigrams,
+           COALESCE(bg.top_bigram_count, 0)  AS top_bigram_count
+    FROM documents d
+    LEFT JOIN wc ON d.doc_id = wc.doc_id
+    LEFT JOIN bg ON d.doc_id = bg.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-source document cap (domain-level crawl sampling)
+# ---------------------------------------------------------------------------
+
+SOURCE_CAP_K = 10
+
+
+def source_cap_sample(sf_dir: str, k: int = SOURCE_CAP_K) -> "ray.data.Dataset":
+    """Keep at most ``k`` docs per ``source`` (deterministic: smallest
+    doc_ids win) — the domain-cap sampler every crawl pipeline runs so one
+    hot domain cannot dominate the corpus.
+
+    Shape (stages/bucketed.py): a per-batch LOCAL cap first (only ≤ k rows
+    per source leave each read fragment — a 10^7-page domain sheds all but
+    k rows before any data moves), then ONE hash shuffle on an int bucket
+    of ``source`` and the same vectorized rank kernel per bucket. Never a
+    per-key Python call."""
+    from datacat_ray.stages.bucketed import add_bucket, keep_first_k
+
+    ds = _read_documents(sf_dir, ["doc_id", "source"])
+
+    def _local_cap(t: pa.Table) -> pa.Table:
+        return add_bucket(keep_first_k(t, "source", ["doc_id"], k), "source")
+
+    return (
+        ds.map_batches(_local_cap, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: keep_first_k(
+                g.drop_columns(["__bucket"]), "source", ["doc_id"], k
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def source_cap_sample_sql(k: int = SOURCE_CAP_K) -> str:
+    return f"""
+        SELECT doc_id, source FROM documents
+        QUALIFY row_number() OVER (
+            PARTITION BY source ORDER BY doc_id) <= {k}
+    """

@@ -87,6 +87,29 @@ def sorted_key_bounds(uid: np.ndarray) -> np.ndarray:
     return np.flatnonzero(starts)
 
 
+def keep_first_k(
+    t: pa.Table, key: str, order_cols: list[str], k: int
+) -> pa.Table:
+    """Vectorized per-key rank filter: keep each key's first ``k`` rows in
+    (key, *order_cols) ascending order — ``row_number() OVER (PARTITION BY
+    key ORDER BY order_cols) <= k`` without a per-key Python call. Rank
+    within a key run is ``arange(n) - repeat(run_start, run_len)``."""
+    n = t.num_rows
+    if n == 0 or k <= 0:
+        return t.slice(0, 0) if k <= 0 else t
+    order = pc.sort_indices(
+        t,
+        sort_keys=[(key, "ascending")] + [(c, "ascending") for c in order_cols],
+    )
+    sorted_keys = pc.take(t[key], order).combine_chunks().to_numpy(
+        zero_copy_only=False
+    )
+    starts = sorted_key_bounds(sorted_keys)
+    run_len = np.diff(np.append(starts, n))
+    rank = np.arange(n, dtype=np.int64) - np.repeat(starts, run_len)
+    return t.take(pc.take(order, pa.array(np.flatnonzero(rank < k))))
+
+
 def keep_last(t: pa.Table, key: str, order_cols: list[str]) -> pa.Table:
     """Vectorized keep-max-per-key: stable sort by (key, *order_cols) with
     nulls FIRST (a null order value never wins), keep each key's last row."""

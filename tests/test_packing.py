@@ -1,0 +1,131 @@
+"""Sequence packing + per-source cap + repetition stats: the round-2
+training-data ops, checked against brute-force Python references and the
+driver testdata."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# keep_first_k kernel (stages/bucketed.py) vs brute force
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 50)),
+        min_size=0,
+        max_size=60,
+    ),
+    st.integers(0, 5),
+)
+def test_keep_first_k_matches_brute_force(rows, k):
+    from datacat_ray.stages.bucketed import keep_first_k
+
+    t = pa.Table.from_pydict(
+        {
+            "source": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+    out = keep_first_k(t, "source", ["doc_id"], k)
+    got = sorted(zip(out["source"].to_pylist(), out["doc_id"].to_pylist()))
+    per_key: dict[int, list[int]] = {}
+    for s, d in rows:
+        per_key.setdefault(s, []).append(d)
+    want = sorted(
+        (s, d) for s, ds in per_key.items() for d in sorted(ds)[:k]
+    )
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# repetition stats row kernel vs Counter reference
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_stats_row():
+    from datacat_ray.pipelines.text_analysis import repetition_stats_row
+
+    assert repetition_stats_row(None) == (0, 0, 0, 0, 0)
+    assert repetition_stats_row("   ") == (0, 0, 0, 0, 0)
+    assert repetition_stats_row("one") == (1, 1, 1, 0, 0)
+    # "a b a b a": words=5, distinct=2, top word a×3, bigrams=4,
+    # top bigram (a,b)×2
+    assert repetition_stats_row("a b a b a") == (5, 2, 3, 4, 2)
+    # whitespace runs collapse exactly like the oracle's \s+ split
+    assert repetition_stats_row("x\t\tx\n x") == (3, 1, 3, 2, 2)
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences: global prefix-sum placement over the driver testdata
+# ---------------------------------------------------------------------------
+
+
+def test_pack_sequences_matches_serial_scan(ray_session):
+    import pyarrow.parquet as pq
+
+    from datacat_ray.pipelines.packing import pack_sequences
+    from datacat_ray.pipelines.text_analysis import ascii_tokens
+
+    seq_len = 512
+    out = pack_sequences(SF, seq_len=seq_len, n_buckets=7).take_all()
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["chunk_id"], r["chunk_pos"])
+        for r in out
+    }
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    rows = sorted(
+        zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+    )
+    acc = 0
+    want = {}
+    for doc_id, text in rows:
+        n = len(ascii_tokens(text))
+        want[doc_id] = (n, acc // seq_len, acc % seq_len)
+        acc += n
+    assert got == want
+
+
+def test_pack_sequences_bucket_count_invariant(ray_session):
+    """Placement must be independent of the partition count P."""
+    from datacat_ray.pipelines.packing import pack_sequences
+
+    a = sorted(
+        map(tuple, (r.values() for r in pack_sequences(SF, n_buckets=3).take_all()))
+    )
+    b = sorted(
+        map(tuple, (r.values() for r in pack_sequences(SF, n_buckets=64).take_all()))
+    )
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# source cap sampler over the driver testdata
+# ---------------------------------------------------------------------------
+
+
+def test_source_cap_sample(ray_session):
+    import pyarrow.parquet as pq
+
+    from datacat_ray.pipelines.text_analysis import source_cap_sample
+
+    k = 3
+    out = source_cap_sample(SF, k=k).take_all()
+    per: dict[str, list[int]] = {}
+    for r in out:
+        per.setdefault(r["source"], []).append(r["doc_id"])
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "source"])
+    full: dict[str, list[int]] = {}
+    for d, s in zip(t["doc_id"].to_pylist(), t["source"].to_pylist()):
+        full.setdefault(s, []).append(d)
+    for s, ids in full.items():
+        assert sorted(per.get(s, [])) == sorted(ids)[:k], s
