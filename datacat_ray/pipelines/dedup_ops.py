@@ -590,7 +590,11 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> "ray.data.Dataset":
 
 def _exact_jaccard_batch(batch: pa.Table, threshold: float) -> pa.Table:
     """(doc_a, doc_b, text_a, text_b) → pairs whose EXACT shingle Jaccard
-    meets the threshold."""
+    meets the threshold. All arithmetic stays in integers (the threshold
+    test is ``inter * 1e6 >= threshold_micros * union`` and the reported
+    value is half-up-rounded micros) so the result is bit-identical to the
+    SQL oracle — no float-division or round-half-to-even divergence."""
+    thr_micros = int(round(threshold * 1_000_000))
     keep_a, keep_b, jac = [], [], []
     for x, y, ta, tb in zip(
         batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist(),
@@ -598,18 +602,60 @@ def _exact_jaccard_batch(batch: pa.Table, threshold: float) -> pa.Table:
     ):
         sa = set(char_shingles(ta).tolist())
         sb = set(char_shingles(tb).tolist())
-        j = len(sa & sb) / len(sa | sb) if sa | sb else 0.0
-        if j >= threshold:
+        inter, uni = len(sa & sb), len(sa | sb)
+        if uni and inter * 1_000_000 >= thr_micros * uni:
             keep_a.append(x)
             keep_b.append(y)
-            jac.append(round(j, 6))
+            jac.append((2 * inter * 1_000_000 + uni) // (2 * uni))
     return pa.Table.from_pydict(
         {
             "doc_a": pa.array(keep_a, type=pa.int64()),
             "doc_b": pa.array(keep_b, type=pa.int64()),
-            "jaccard": pa.array(jac, type=pa.float64()),
+            "jaccard_micros": pa.array(jac, type=pa.int64()),
         }
     )
+
+
+def ngram_jaccard_sql(threshold: float = 0.6, k: int = SHINGLE_K) -> str:
+    """Exact all-pairs shingle-Jaccard oracle. The Ray pipeline verifies
+    only MinHash-LSH candidates, so Ray == oracle iff LSH recall is 100 %
+    at the threshold — which holds deterministically on the driver corpus:
+    every true pair there has J ≥ 0.92, where the 16-band × 8-row miss
+    probability is (1 - 0.92⁸)¹⁶ ≈ 1e-5 per pair, and the fixed hash seeds
+    make the outcome reproducible, not probabilistic. Jaccard is computed
+    over distinct k-char shingles of the lowercased whitespace-collapsed
+    text (set-identical to ``char_shingles``'s 64-bit hash set, collisions
+    aside); the <k-char '_'-padding branch is not mirrored (no driver doc
+    is that short). Integer threshold test + half-up micros match the Ray
+    side bit-for-bit."""
+    thr_micros = int(round(threshold * 1_000_000))
+    return rf"""
+        WITH norm AS (
+            SELECT doc_id,
+                   lower(list_aggregate(list_filter(
+                       regexp_split_to_array(text, '\s+'), x -> x <> ''),
+                       'string_agg', ' ')) AS s
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, substr(s, CAST(i AS INT), {k}) AS g
+            FROM (SELECT doc_id, s,
+                         unnest(range(1, greatest(len(s) - {k - 1}, 1) + 1)) AS i
+                  FROM norm)
+        ), pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+            FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               CAST((2 * inter * 1000000 + (sa.n + sb.n - inter))
+                    // (2 * (sa.n + sb.n - inter)) AS BIGINT) AS jaccard_micros
+        FROM pairs
+        JOIN (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1) sa
+             ON doc_a = sa.doc_id
+        JOIN (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1) sb
+             ON doc_b = sb.doc_id
+        WHERE inter * 1000000 >= {thr_micros} * (sa.n + sb.n - inter)
+    """
 
 
 def ngram_jaccard_pairs(

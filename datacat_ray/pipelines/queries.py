@@ -34,6 +34,7 @@ from datacat_ray.pipelines.dedup_ops import (
     minhash_candidate_pairs,
     neardup_clusters,
     ngram_jaccard_pairs,
+    ngram_jaccard_sql,
     simhash_pairs,
 )
 from datacat_ray.pipelines.extract import build_extract_pipeline
@@ -390,14 +391,16 @@ def build_oracle_sql() -> dict[str, str]:
         "quality_score_micros": quality_score_micros_sql(),
         "oov_ratio": oov_ratio_sql(),
         "image_assets": IMAGE_ASSETS_SQL,
+        "ngram_jaccard_pairs": ngram_jaccard_sql(threshold=0.6),
         "repetition_stats": REPETITION_STATS_SQL,
         "source_cap_sample": source_cap_sample_sql(),
         "pack_sequences": pack_sequences_sql(),
         # no oracle (non-SQL-expressible; driver records rows-only):
         #   extract_flagship (cascade; its byte-identity slice IS oracled via
         #   extract_text_identity), features_debug (33-field featurizer,
-        #   golden-tested), minhash/simhash/ngram/embedding pairs (LSH
-        #   banding — the signature arithmetic is out of SQL reach),
+        #   golden-tested), minhash/simhash/embedding pairs (LSH banding —
+        #   the signature arithmetic is out of SQL reach; the exact-verify
+        #   slice IS oracled via ngram_jaccard_pairs),
         #   neardup_clusters (components over the LSH pair graph),
         #   knn_ivf (approximate), approx_distinct_users (sketch),
         #   quality_score (float column; the integer mirror
