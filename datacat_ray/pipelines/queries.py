@@ -86,6 +86,8 @@ from datacat_ray.pipelines.text_analysis import (
     TOKEN_COUNT_BPE_SQL,
     TOP_BIGRAMS_SQL,
     TOP_TERMS_SQL,
+    dup_ngram_fraction,
+    dup_ngram_fraction_sql,
     repetition_stats,
     source_cap_sample,
     source_cap_sample_sql,
@@ -253,6 +255,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "quality_score_micros": quality_score_micros,
         "fingerprint": fingerprint,
         "repetition_stats": repetition_stats,
+        "dup_ngram_fraction": dup_ngram_fraction,
         "source_cap_sample": source_cap_sample,
         "pack_sequences": pack_sequences,
         # trainer-side ops (SURVEY §2.6 O3, §2.5 A5)
@@ -393,6 +396,7 @@ def build_oracle_sql() -> dict[str, str]:
         "image_assets": IMAGE_ASSETS_SQL,
         "ngram_jaccard_pairs": ngram_jaccard_sql(threshold=0.6),
         "repetition_stats": REPETITION_STATS_SQL,
+        "dup_ngram_fraction": dup_ngram_fraction_sql(),
         "source_cap_sample": source_cap_sample_sql(),
         "pack_sequences": pack_sequences_sql(),
         # no oracle (non-SQL-expressible; driver records rows-only):

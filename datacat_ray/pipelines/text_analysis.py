@@ -928,3 +928,188 @@ def source_cap_sample_sql(k: int = SOURCE_CAP_K) -> str:
         QUALIFY row_number() OVER (
             PARTITION BY source ORDER BY doc_id) <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# duplicate n-gram fraction (corpus-level Gopher/Dolma dedup signal)
+# ---------------------------------------------------------------------------
+
+DUP_NGRAM_N = 8
+_GRAM_B = np.uint64(1099511628211)  # FNV prime as positional base
+_WORD_HASH_SEED = 20260817
+
+
+def _word_ngram_hashes(texts: list, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """All docs of a batch at once → (doc_idx, gram_hash) for every DISTINCT
+    word n-gram per doc. One vectorized pass: polars hashes the flattened
+    word list, the n-gram combine is n shifted multiply-adds over the whole
+    batch array, windows crossing doc boundaries are masked out, and
+    per-doc dedup is a lexsort + neighbor-equality mask — no per-gram
+    Python."""
+    import polars as pl
+
+    words_per_doc = [ascii_tokens(t) for t in texts]
+    lens = np.fromiter((len(w) for w in words_per_doc), dtype=np.int64,
+                       count=len(words_per_doc))
+    flat: list[str] = [w for ws in words_per_doc for w in ws]
+    if len(flat) < n:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    wh = pl.Series(flat, dtype=pl.Utf8).hash(seed=_WORD_HASH_SEED).to_numpy()
+    wh = wh.astype(np.uint64)
+    doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    m = len(wh) - n + 1
+    g = np.zeros(m, dtype=np.uint64)
+    for j in range(n):  # n vector ops total
+        g = g * _GRAM_B + wh[j : j + m]
+    valid = doc_of[:m] == doc_of[n - 1 :]
+    d, g = doc_of[:m][valid], g[valid]
+    if not len(g):
+        return d, g
+    order = np.lexsort((g, d))
+    d, g = d[order], g[order]
+    first = np.empty(len(g), dtype=bool)
+    first[0] = True
+    first[1:] = (d[1:] != d[:-1]) | (g[1:] != g[:-1])
+    return d[first], g[first]
+
+
+def dup_ngram_fraction(
+    sf_dir: str, n: int = DUP_NGRAM_N, n_buckets: int = 64
+) -> "ray.data.Dataset":
+    """Per-doc fraction of distinct word ``n``-grams that appear in at
+    least one OTHER document — the corpus-level duplicate-text signal the
+    Gopher/Dolma quality gates threshold on (a boilerplate-heavy page
+    scores high even when no single page is an exact dup).
+
+    Distributed shape (the only exact way to get corpus-global counts):
+    1. explode docs into NARROW (doc_id, gram_hash) rows, distinct per doc
+       (uint64+int64 only — text never leaves the tokenize stage);
+    2. ONE hash shuffle on ``gram_hash % P``; inside each bucket a
+       vectorized kernel counts per-gram document frequency (every holder
+       of a gram is in the same bucket) and reduces to per-doc partials
+       (doc_id, n_grams_here, n_dup_here) — output is ≤ docs×P tiny rows;
+    3. union zero rows (every doc appears even with < n words) and a
+       distributed ``groupby(doc_id).sum`` over the int partials.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def _explode(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        d, g = _word_ngram_hashes(t["text"].to_pylist(), n)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids[d], pa.int64()),
+                # bit-reinterpret so Arrow stores int64; values compare by
+                # identity only, signedness is irrelevant
+                "gram": pa.array(g.view(np.int64), pa.int64()),
+                "__bucket": pa.array(
+                    (g % np.uint64(n_buckets)).astype(np.int32)
+                ),
+            }
+        )
+
+    def _bucket_partials(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        g = t["gram"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(g, kind="stable")
+        gs = g[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], gs[1:] != gs[:-1]])
+        )
+        run_len = np.diff(np.append(starts, len(gs)))
+        df = np.repeat(run_len, run_len)  # per-row document frequency
+        dup = (df > 1).astype(np.int64)
+        ds_sorted = d[order]
+        uids, inv = np.unique(ds_sorted, return_inverse=True)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(uids, pa.int64()),
+                "n_ngrams": pa.array(np.bincount(inv), pa.int64()),
+                "n_dup": pa.array(
+                    np.bincount(inv, weights=dup).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    partials = (
+        ds.map_batches(_explode, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(
+            lambda t: _bucket_partials(t.drop_columns(["__bucket"])),
+            batch_format="pyarrow",
+        )
+    )
+
+    def _zeros(t: pa.Table) -> pa.Table:
+        z = pa.nulls(t.num_rows, pa.int64()).fill_null(0)
+        return pa.Table.from_pydict(
+            {"doc_id": t["doc_id"], "n_ngrams": z, "n_dup": z}
+        )
+
+    presence = _read_documents(sf_dir, ["doc_id"]).map_batches(
+        _zeros, batch_format="pyarrow"
+    )
+
+    def _finish(t: pa.Table) -> pa.Table:
+        ng = t["n_ngrams"].combine_chunks().to_numpy(zero_copy_only=False)
+        nd = t["n_dup"].combine_chunks().to_numpy(zero_copy_only=False)
+        micros = np.where(
+            ng > 0,
+            (2 * nd * 1_000_000 + ng) // np.maximum(2 * ng, 1),
+            0,
+        )
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "n_ngrams": pa.array(ng, pa.int64()),
+                "n_dup": pa.array(nd, pa.int64()),
+                "dup_frac_micros": pa.array(micros, pa.int64()),
+            }
+        )
+
+    return (
+        partials.union(presence)
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_ngrams", alias_name="n_ngrams"),
+            Sum("n_dup", alias_name="n_dup"),
+        )
+        .map_batches(_finish, batch_format="pyarrow")
+    )
+
+
+def dup_ngram_fraction_sql(n: int = DUP_NGRAM_N) -> str:
+    return rf"""
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\s+'),
+                               x -> x <> '') AS ws
+            FROM documents
+        ), g AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(
+                       ws[CAST(i AS INT):CAST(i AS INT) + {n - 1}], ' ') AS gram
+            FROM (SELECT doc_id, ws,
+                         unnest(range(1, len(ws) - {n - 2})) AS i
+                  FROM base)
+        ), df AS (
+            SELECT gram, COUNT(*) AS df FROM g GROUP BY 1
+        ), per AS (
+            SELECT g.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+                   CAST(SUM(CASE WHEN df.df > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup
+            FROM g JOIN df USING (gram)
+            GROUP BY 1
+        )
+        SELECT d.doc_id,
+               COALESCE(per.n_ngrams, 0) AS n_ngrams,
+               COALESCE(per.n_dup, 0)    AS n_dup,
+               CAST(CASE WHEN COALESCE(per.n_ngrams, 0) = 0 THEN 0
+                    ELSE (2 * per.n_dup * 1000000 + per.n_ngrams)
+                         // (2 * per.n_ngrams) END AS BIGINT)
+                   AS dup_frac_micros
+        FROM documents d LEFT JOIN per USING (doc_id)
+    """

@@ -129,3 +129,56 @@ def test_source_cap_sample(ray_session):
         full.setdefault(s, []).append(d)
     for s, ids in full.items():
         assert sorted(per.get(s, [])) == sorted(ids)[:k], s
+
+
+# ---------------------------------------------------------------------------
+# dup_ngram_fraction vs brute-force corpus scan
+# ---------------------------------------------------------------------------
+
+
+def test_dup_ngram_fraction_matches_brute_force(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datacat_ray.pipelines.text_analysis import (
+        ascii_tokens,
+        dup_ngram_fraction,
+    )
+
+    n = 3
+    texts = [
+        "a b c d e",          # shares "a b c"/"b c d" tails with doc 1
+        "a b c d x",
+        "zz",                 # too short for any 3-gram
+        "a b c a b c a b c",  # internal repeats are ONE distinct gram
+        "q w e r t y",        # unique
+        None,
+        "",
+    ]
+    tbl = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    d = tmp_path / "corpus"
+    d.mkdir()
+    pq.write_table(tbl, d / "documents.parquet")
+
+    out = {
+        r["doc_id"]: (r["n_ngrams"], r["n_dup"], r["dup_frac_micros"])
+        for r in dup_ngram_fraction(str(d), n=n, n_buckets=4).take_all()
+    }
+
+    grams = [
+        {tuple(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+        for ws in (ascii_tokens(t) for t in texts)
+    ]
+    for i, gs in enumerate(grams):
+        dup = sum(
+            1 for g in gs if any(g in o for j, o in enumerate(grams) if j != i)
+        )
+        ng = len(gs)
+        micros = 0 if ng == 0 else (2 * dup * 1_000_000 + ng) // (2 * ng)
+        assert out[i] == (ng, dup, micros), i
+    assert len(out) == len(texts)
