@@ -88,6 +88,8 @@ from datacat_ray.pipelines.text_analysis import (
     TOP_TERMS_SQL,
     dup_ngram_fraction,
     dup_ngram_fraction_sql,
+    tfidf_top_terms,
+    tfidf_top_terms_sql,
     repetition_stats,
     source_cap_sample,
     source_cap_sample_sql,
@@ -256,6 +258,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": fingerprint,
         "repetition_stats": repetition_stats,
         "dup_ngram_fraction": dup_ngram_fraction,
+        "tfidf_top_terms": tfidf_top_terms,
         "source_cap_sample": source_cap_sample,
         "pack_sequences": pack_sequences,
         # trainer-side ops (SURVEY §2.6 O3, §2.5 A5)
@@ -397,6 +400,7 @@ def build_oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": ngram_jaccard_sql(threshold=0.6),
         "repetition_stats": REPETITION_STATS_SQL,
         "dup_ngram_fraction": dup_ngram_fraction_sql(),
+        "tfidf_top_terms": tfidf_top_terms_sql(),
         "source_cap_sample": source_cap_sample_sql(),
         "pack_sequences": pack_sequences_sql(),
         # no oracle (non-SQL-expressible; driver records rows-only):

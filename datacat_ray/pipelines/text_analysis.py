@@ -1113,3 +1113,121 @@ def dup_ngram_fraction_sql(n: int = DUP_NGRAM_N) -> str:
                    AS dup_frac_micros
         FROM documents d LEFT JOIN per USING (doc_id)
     """
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top-k terms per document
+# ---------------------------------------------------------------------------
+
+TFIDF_K = 5
+
+
+def tfidf_top_terms(sf_dir: str, k: int = TFIDF_K) -> "ray.data.Dataset":
+    """Per-doc top-``k`` terms by tf·idf (idf = ln(N/df)) with (score DESC,
+    term ASC) tie-break — the classic keyword/feature extractor.
+
+    Shape: pass 1 computes global document frequencies with the map-side
+    combiner pattern (per-batch DISTINCT (term → #docs) partials, one
+    vocabulary-sized ``groupby(term).sum``); N comes from parquet metadata
+    (no data read). The df table is broadcast via ``ray.put`` (a natural-
+    language vocabulary is ~10^6 terms ≈ tens of MB — small-side by
+    definition; a corpus whose key space outgrows that should hash-join
+    doc-term rows against the df table instead). Pass 2 re-tokenizes and
+    scores doc-locally — tf and top-k need no shuffle at all. Ranking
+    compares the ROUNDED integer micros, so Ray and SQL can never disagree
+    on order within a doc."""
+    import collections
+
+    import pyarrow.parquet as _pq
+
+    from ray.data.aggregate import Sum
+
+    from datacat_ray.stages.bucketed import cached_ref
+
+    path = f"{sf_dir}/documents.parquet"
+    n_docs = _pq.ParquetFile(path).metadata.num_rows
+
+    ds = ray.data.read_parquet(path, columns=["doc_id", "text"])
+
+    def _df_partials(batch: pa.Table) -> pa.Table:
+        c: collections.Counter = collections.Counter()
+        for t in batch["text"].to_pylist():
+            c.update(set(ascii_tokens(t)))
+        return pa.Table.from_pydict(
+            {
+                "term": pa.array(list(c.keys()), type=pa.string()),
+                "partial": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    df_rows = (
+        ds.map_batches(_df_partials, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("partial", alias_name="df"))
+        .take_all()  # vocabulary-sized, not corpus-sized
+    )
+    import ray as _ray
+
+    df_ref = _ray.put({r["term"]: r["df"] for r in df_rows})
+
+    def _score(batch: pa.Table) -> pa.Table:
+        df = cached_ref(df_ref)
+        out_doc, out_term, out_score, out_rank = [], [], [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            tf = collections.Counter(ascii_tokens(text))
+            scored = sorted(
+                (
+                    (
+                        -int(np.floor(
+                            c * np.log(n_docs / df[w]) * 1_000_000 + 0.5
+                        )),
+                        w,
+                    )
+                    for w, c in tf.items()
+                ),
+            )[:k]
+            for r, (neg, w) in enumerate(scored, start=1):
+                out_doc.append(doc_id)
+                out_term.append(w)
+                out_score.append(-neg)
+                out_rank.append(r)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "term": pa.array(out_term, pa.string()),
+                "score_micros": pa.array(out_score, pa.int64()),
+                "rank": pa.array(out_rank, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_score, batch_format="pyarrow")
+
+
+def tfidf_top_terms_sql(k: int = TFIDF_K) -> str:
+    return rf"""
+        WITH terms AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(text, '\s+')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM terms
+            WHERE term <> '' GROUP BY 1, 2
+        ), df AS (
+            SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms
+            WHERE term <> '' GROUP BY 1
+        ), scored AS (
+            SELECT tf.doc_id, tf.term,
+                   CAST(FLOOR(tf.tf * ln((SELECT COUNT(*) FROM documents)
+                                         * 1.0 / df.df) * 1000000 + 0.5)
+                        AS BIGINT) AS score_micros
+            FROM tf JOIN df USING (term)
+        )
+        SELECT doc_id, term, score_micros, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id
+                ORDER BY score_micros DESC, term ASC) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """

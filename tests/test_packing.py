@@ -182,3 +182,48 @@ def test_dup_ngram_fraction_matches_brute_force(ray_session, tmp_path):
         micros = 0 if ng == 0 else (2 * dup * 1_000_000 + ng) // (2 * ng)
         assert out[i] == (ng, dup, micros), i
     assert len(out) == len(texts)
+
+
+# ---------------------------------------------------------------------------
+# tfidf_top_terms vs hand-computed scores
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_top_terms(ray_session, tmp_path):
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datacat_ray.pipelines.text_analysis import tfidf_top_terms
+
+    texts = [
+        "apple apple banana common",
+        "banana cherry common",
+        "cherry cherry cherry common",
+    ]
+    tbl = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(range(3), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    d = tmp_path / "c"
+    d.mkdir()
+    pq.write_table(tbl, d / "documents.parquet")
+
+    out = tfidf_top_terms(str(d), k=2).take_all()
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["score_micros"]) for r in out
+    }
+
+    def s(tf, df):
+        return int(math.floor(tf * math.log(3 / df) * 1_000_000 + 0.5))
+
+    # doc 0: apple tf2 df1 → 2·ln3; banana tf1 df2 → ln1.5; common df3 → 0
+    assert got[(0, 1)] == ("apple", s(2, 1))
+    assert got[(0, 2)] == ("banana", s(1, 2))
+    # doc 2: cherry tf3 df2; common score 0 still ranks 2nd of its terms
+    assert got[(2, 1)] == ("cherry", s(3, 2))
+    assert got[(2, 2)] == ("common", 0)
+    assert len(out) == 6
