@@ -71,8 +71,10 @@ from datacat_ray.pipelines.relational import (
 )
 from datacat_ray.pipelines.sketches import approx_distinct_users
 from datacat_ray.pipelines.similarity import (
+    LABEL_CENTROIDS_SQL,
     brute_force_topk,
     ivf_topk,
+    label_centroids,
     multi_query_topk,
 )
 from datacat_ray.pipelines.packing import (
@@ -241,6 +243,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "knn_brute_force": lambda sf: brute_force_topk(sf, query_vec_id=0, k=10),
         "knn_ivf": lambda sf: ivf_topk(sf, query_vec_id=0, k=10),
         "knn_multi_query": lambda sf: multi_query_topk(sf, (0, 1, 2, 3), k=5),
+        "label_centroids": label_centroids,
         # text analysis
         "token_count": token_count,
         "token_count_bpe": token_count_bpe,
@@ -401,6 +404,7 @@ def build_oracle_sql() -> dict[str, str]:
         "repetition_stats": REPETITION_STATS_SQL,
         "dup_ngram_fraction": dup_ngram_fraction_sql(),
         "tfidf_top_terms": tfidf_top_terms_sql(),
+        "label_centroids": LABEL_CENTROIDS_SQL,
         "source_cap_sample": source_cap_sample_sql(),
         "pack_sequences": pack_sequences_sql(),
         # no oracle (non-SQL-expressible; driver records rows-only):

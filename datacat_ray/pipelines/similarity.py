@@ -349,3 +349,99 @@ def ivf_topk(
             "rank": pa.array(list(range(1, len(rows) + 1)), type=pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# per-label embedding centroids (distributed vector mean)
+# ---------------------------------------------------------------------------
+
+
+def label_centroids(sf_dir: str) -> pa.Table:
+    """Mean embedding per label, exploded to (label, dim, centroid_micros)
+    rows — the distributed vector-aggregation shape (class prototypes /
+    cluster seeding).
+
+    Map-side combiner: each batch reduces to ≤ |labels| partial rows of
+    (label, count, sum-vector); the groupby exchanges label-count×dim
+    floats, never row-count. Numerics: float32 components are EXACT in
+    float64, and a sum of ~2^13 of them needs ≤ 40 mantissa bits — the
+    float64 accumulation is exact and therefore ORDER-INDEPENDENT, which is
+    what makes the micros output reproducible across any batch split and
+    bit-equal to the SQL oracle (which also sums component-exact doubles).
+    """
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+
+    def _partials(t: pa.Table) -> pa.Table:
+        labels = np.asarray(t["label"].to_pylist(), dtype=np.int64)
+        mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        uids, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uids), mat.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, mat)
+        return pa.Table.from_pydict(
+            {
+                "label": pa.array(uids, pa.int64()),
+                "n": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+                "vsum": pa.array(
+                    list(sums), type=pa.list_(pa.float64())
+                ),
+            }
+        )
+
+    rows = (
+        ds.map_batches(_partials, batch_format="pyarrow")
+        .groupby("label")
+        .map_groups(
+            # |labels| is a closed small set (16 here): per-key map_groups
+            # is O(labels) Python calls by construction, not O(rows)
+            lambda g: pa.Table.from_pydict(
+                {
+                    "label": g["label"][:1],
+                    "n": pa.array(
+                        [int(sum(g["n"].to_pylist()))], pa.int64()
+                    ),
+                    "vsum": pa.array(
+                        [np.sum(
+                            np.array(g["vsum"].to_pylist(), dtype=np.float64),
+                            axis=0,
+                        ).tolist()],
+                        type=pa.list_(pa.float64()),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .take_all()  # |labels| rows
+    )
+
+    out_label, out_dim, out_val = [], [], []
+    for r in sorted(rows, key=lambda r: r["label"]):
+        mean = np.asarray(r["vsum"], dtype=np.float64) / r["n"]
+        for d, v in enumerate(mean):
+            out_label.append(r["label"])
+            out_dim.append(d)
+            out_val.append(int(np.floor(v * 1_000_000 + 0.5)))
+    return pa.Table.from_pydict(
+        {
+            "label": pa.array(out_label, pa.int64()),
+            "dim": pa.array(out_dim, pa.int64()),
+            "centroid_micros": pa.array(out_val, pa.int64()),
+        }
+    )
+
+
+LABEL_CENTROIDS_SQL = """
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(dim - 1 AS BIGINT) AS dim,
+           CAST(FLOOR(AVG(v) * 1000000 + 0.5) AS BIGINT) AS centroid_micros
+    FROM (
+        SELECT label,
+               unnest(embedding::DOUBLE[]) AS v,
+               generate_subscripts(embedding, 1) AS dim
+        FROM embeddings
+    )
+    GROUP BY label, dim
+"""
