@@ -74,6 +74,7 @@ from datacat_ray.pipelines.similarity import (
     LABEL_CENTROIDS_SQL,
     brute_force_topk,
     ivf_topk,
+    kmeans_clusters,
     label_centroids,
     multi_query_topk,
 )
@@ -244,6 +245,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": lambda sf: ivf_topk(sf, query_vec_id=0, k=10),
         "knn_multi_query": lambda sf: multi_query_topk(sf, (0, 1, 2, 3), k=5),
         "label_centroids": label_centroids,
+        "kmeans_clusters": kmeans_clusters,
         # text analysis
         "token_count": token_count,
         "token_count_bpe": token_count_bpe,
@@ -414,7 +416,9 @@ def build_oracle_sql() -> dict[str, str]:
         #   the signature arithmetic is out of SQL reach; the exact-verify
         #   slice IS oracled via ngram_jaccard_pairs),
         #   neardup_clusters (components over the LSH pair graph),
-        #   knn_ivf (approximate), approx_distinct_users (sketch),
+        #   knn_ivf (approximate), kmeans_clusters (iterative Lloyd's —
+        #   deterministic, pinned to a numpy reference in tests),
+        #   approx_distinct_users (sketch),
         #   quality_score (float column; the integer mirror
         #   quality_score_micros IS oracled), image_metadata / audio_frames
         #   / video_frames (binary decode pipelines, unit-golden-tested)

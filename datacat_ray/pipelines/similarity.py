@@ -445,3 +445,113 @@ LABEL_CENTROIDS_SQL = """
     )
     GROUP BY label, dim
 """
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means (Lloyd's iterations over the full table)
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 16
+KMEANS_ITERS = 5
+
+
+def kmeans_clusters(
+    sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> "ray.data.Dataset":
+    """(vec_id, cluster): Lloyd's k-means assignments after ``iters``
+    rounds over the FULL embeddings table — the distributed companion to
+    ``train_ivf_centroids`` (which trains on a driver-side sample).
+
+    Each round is one streaming pass: centroids broadcast via ``ray.put``,
+    per-batch vectorized assign (one matmul), map-side reduction to ≤ k
+    partial rows of (cluster, count, sum-vector), tiny ``groupby(cluster)``
+    merge, driver centroid update — the exchange is k×dim floats per
+    round, never row-count. float32 components sum EXACTLY in float64, so
+    assignments are deterministic for any batch split / worker count (the
+    cluster-size-independence the north rule requires of every stage).
+    Init: the k lowest-vec_id vectors (pushdown-filtered read). Empty
+    clusters keep their previous centroid. Ties go to the lowest cluster
+    id (np.argmin convention, documented so reruns match)."""
+    import pyarrow.dataset as pads
+
+    from ray.data.aggregate import Sum
+
+    path = f"{sf_dir}/embeddings.parquet"
+    seed_t = (
+        pads.dataset(path, format="parquet")
+        .to_table(columns=["vec_id", "embedding"],
+                  filter=pads.field("vec_id") < k)
+        .sort_by("vec_id")
+    )
+    cent = np.array(seed_t["embedding"].to_pylist(), dtype=np.float64)
+
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+
+    def _assign_mat(mat: np.ndarray, c: np.ndarray) -> np.ndarray:
+        # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² is rank-constant
+        d2 = -2.0 * (mat @ c.T) + (c * c).sum(axis=1)[None, :]
+        return np.argmin(d2, axis=1)
+
+    for _ in range(iters):
+        c_ref = ray.put(cent)
+
+        def _partials(t: pa.Table) -> pa.Table:
+            from datacat_ray.stages.bucketed import cached_ref
+
+            c = cached_ref(c_ref)
+            mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+            a = _assign_mat(mat, c)
+            uids, inv = np.unique(a, return_inverse=True)
+            sums = np.zeros((len(uids), mat.shape[1]), dtype=np.float64)
+            np.add.at(sums, inv, mat)
+            return pa.Table.from_pydict(
+                {
+                    "cluster": pa.array(uids, pa.int64()),
+                    "n": pa.array(np.bincount(inv).astype(np.int64)),
+                    "vsum": pa.array(list(sums), type=pa.list_(pa.float64())),
+                }
+            )
+
+        merged = (
+            ds.map_batches(_partials, batch_format="pyarrow")
+            .groupby("cluster")
+            .map_groups(  # ≤ k keys by construction
+                lambda g: pa.Table.from_pydict(
+                    {
+                        "cluster": g["cluster"][:1],
+                        "n": pa.array([int(sum(g["n"].to_pylist()))]),
+                        "vsum": pa.array(
+                            [np.sum(np.array(g["vsum"].to_pylist(),
+                                             dtype=np.float64), axis=0)
+                             .tolist()],
+                            type=pa.list_(pa.float64()),
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .take_all()
+        )
+        for r in merged:
+            if r["n"]:
+                cent[r["cluster"]] = (
+                    np.asarray(r["vsum"], dtype=np.float64) / r["n"]
+                )
+
+    final_ref = ray.put(cent)
+
+    def _final(t: pa.Table) -> pa.Table:
+        from datacat_ray.stages.bucketed import cached_ref
+
+        c = cached_ref(final_ref)
+        mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        return pa.Table.from_pydict(
+            {
+                "vec_id": t["vec_id"],
+                "cluster": pa.array(
+                    _assign_mat(mat, c).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(_final, batch_format="pyarrow")

@@ -64,3 +64,54 @@ def test_label_centroids_split_invariant(ray_session):
     finally:
         ctx.target_max_block_size = old
     assert a == b
+
+
+def test_kmeans_matches_numpy_reference(ray_session):
+    """Exact partial sums make distributed Lloyd's bit-deterministic: the
+    Ray result must EQUAL a serial numpy run of the same algorithm."""
+    from datacat_ray.pipelines.similarity import kmeans_clusters
+
+    k, iters = 8, 3
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_clusters(SF, k=k, iters=iters).take_all()
+    }
+
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = np.array(t["vec_id"].to_pylist())
+    mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    cent = mat[ids < k][np.argsort(ids[ids < k])].copy()
+
+    def assign(m, c):
+        d2 = -2.0 * (m @ c.T) + (c * c).sum(axis=1)[None, :]
+        return np.argmin(d2, axis=1)
+
+    for _ in range(iters):
+        a = assign(mat, cent)
+        for j in range(k):
+            if (a == j).any():
+                cent[j] = mat[a == j].sum(axis=0) / (a == j).sum()
+    want = dict(zip(ids.tolist(), assign(mat, cent).tolist()))
+    assert got == want
+
+
+def test_kmeans_split_invariant(ray_session):
+    import ray.data
+    from ray.data import DataContext
+
+    from datacat_ray.pipelines.similarity import kmeans_clusters
+
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        a = sorted(map(tuple, (r.values() for r in
+                               kmeans_clusters(SF, k=5, iters=2).take_all())))
+        ctx.target_max_block_size = 16 * 1024
+        b = sorted(map(tuple, (r.values() for r in
+                               kmeans_clusters(SF, k=5, iters=2).take_all())))
+    finally:
+        ctx.target_max_block_size = old
+    assert a == b
