@@ -91,6 +91,8 @@ from datacat_ray.pipelines.text_analysis import (
     TOP_TERMS_SQL,
     dup_ngram_fraction,
     dup_ngram_fraction_sql,
+    term_postings,
+    term_postings_sql,
     tfidf_top_terms,
     tfidf_top_terms_sql,
     repetition_stats,
@@ -264,6 +266,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": repetition_stats,
         "dup_ngram_fraction": dup_ngram_fraction,
         "tfidf_top_terms": tfidf_top_terms,
+        "term_postings": term_postings,
         "source_cap_sample": source_cap_sample,
         "pack_sequences": pack_sequences,
         # trainer-side ops (SURVEY §2.6 O3, §2.5 A5)
@@ -407,6 +410,7 @@ def build_oracle_sql() -> dict[str, str]:
         "dup_ngram_fraction": dup_ngram_fraction_sql(),
         "tfidf_top_terms": tfidf_top_terms_sql(),
         "label_centroids": LABEL_CENTROIDS_SQL,
+        "term_postings": term_postings_sql(),
         "source_cap_sample": source_cap_sample_sql(),
         "pack_sequences": pack_sequences_sql(),
         # no oracle (non-SQL-expressible; driver records rows-only):

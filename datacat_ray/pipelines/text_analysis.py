@@ -1231,3 +1231,110 @@ def tfidf_top_terms_sql(k: int = TFIDF_K) -> str:
             FROM scored
         ) WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# inverted index: capped posting lists per term
+# ---------------------------------------------------------------------------
+
+POSTINGS_CAP = 20
+
+
+def term_postings(
+    sf_dir: str, cap: int = POSTINGS_CAP, n_buckets: int = 64
+) -> "ray.data.Dataset":
+    """(term, df, postings): corpus document frequency plus the first
+    ``cap`` doc_ids (ascending, comma-joined) per term — the inverted-index
+    build, the one text op whose SHUFFLE IS the product.
+
+    Map-side cap is lossless: every doc's rows live in exactly one input
+    batch, so per-batch DISTINCT (term, doc) sets are disjoint — global df
+    is the SUM of batch partials, and the k-smallest of a union is the
+    k-smallest of the per-batch k-smallests. Each batch therefore ships at
+    most (partial_df:int64 + cap doc_ids) per distinct term, and the single
+    hash shuffle on the term bucket moves vocabulary-bounded data however
+    many trillion tokens went in."""
+    import collections
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def _partials(t: pa.Table) -> pa.Table:
+        docs: dict[str, list[int]] = collections.defaultdict(list)
+        for doc_id, text in zip(
+            t["doc_id"].to_pylist(), t["text"].to_pylist()
+        ):
+            for w in set(ascii_tokens(text)):
+                docs[w].append(doc_id)
+        terms = list(docs.keys())
+        return pa.Table.from_pydict(
+            {
+                "term": pa.array(terms, pa.string()),
+                "pdf": pa.array([len(docs[w]) for w in terms], pa.int64()),
+                "plist": pa.array(
+                    [sorted(docs[w])[:cap] for w in terms],
+                    type=pa.list_(pa.int64()),
+                ),
+            }
+        )
+
+    from datacat_ray.stages.bucketed import add_bucket
+
+    def _merge_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        order = _pc.sort_indices(t, sort_keys=[("term", "ascending")])
+        t = t.take(order)
+        terms = t["term"].to_pylist()
+        pdfs = t["pdf"].to_pylist()
+        plists = t["plist"].to_pylist()
+        out_t, out_df, out_p = [], [], []
+        i = 0
+        while i < len(terms):
+            j = i
+            df = 0
+            acc: list[int] = []
+            while j < len(terms) and terms[j] == terms[i]:
+                df += pdfs[j]
+                acc.extend(plists[j])
+                j += 1
+            acc.sort()
+            out_t.append(terms[i])
+            out_df.append(df)
+            out_p.append(",".join(map(str, acc[:cap])))
+            i = j
+        return pa.Table.from_pydict(
+            {
+                "term": pa.array(out_t, pa.string()),
+                "df": pa.array(out_df, pa.int64()),
+                "postings": pa.array(out_p, pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(_partials, batch_format="pyarrow")
+        .map_batches(
+            lambda t: add_bucket(t, "term", n_buckets), batch_format="pyarrow"
+        )
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: _merge_bucket(g.drop_columns(["__bucket"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def term_postings_sql(cap: int = POSTINGS_CAP) -> str:
+    return rf"""
+        WITH td AS (
+            SELECT DISTINCT doc_id, term FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(text, '\s+')) AS term
+                FROM documents
+            ) WHERE term <> ''
+        )
+        SELECT term,
+               CAST(COUNT(*) AS BIGINT) AS df,
+               array_to_string(list_sort(list(doc_id))[1:{cap}], ',')
+                   AS postings
+        FROM td GROUP BY term
+    """

@@ -227,3 +227,42 @@ def test_tfidf_top_terms(ray_session, tmp_path):
     assert got[(2, 1)] == ("cherry", s(3, 2))
     assert got[(2, 2)] == ("common", 0)
     assert len(out) == 6
+
+
+# ---------------------------------------------------------------------------
+# term_postings vs brute force (with forced multi-batch input)
+# ---------------------------------------------------------------------------
+
+
+def test_term_postings_matches_brute_force(ray_session):
+    import collections
+
+    import pyarrow.parquet as pq
+    from ray.data import DataContext
+
+    from datacat_ray.pipelines.text_analysis import (
+        ascii_tokens,
+        term_postings,
+    )
+
+    cap = 3
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 16 * 1024  # many batches → real merges
+        out = {
+            r["term"]: (r["df"], r["postings"])
+            for r in term_postings(SF, cap=cap, n_buckets=8).take_all()
+        }
+    finally:
+        ctx.target_max_block_size = old
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    want: dict[str, list[int]] = collections.defaultdict(list)
+    for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        for w in set(ascii_tokens(x)):
+            want[w].append(d)
+    assert out == {
+        w: (len(ds), ",".join(map(str, sorted(ds)[:cap])))
+        for w, ds in want.items()
+    }
