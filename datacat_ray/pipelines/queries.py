@@ -93,6 +93,8 @@ from datacat_ray.pipelines.text_analysis import (
     dup_ngram_fraction_sql,
     term_postings,
     term_postings_sql,
+    UNIGRAM_LOGPROB_SQL,
+    unigram_logprob,
     tfidf_top_terms,
     tfidf_top_terms_sql,
     repetition_stats,
@@ -267,6 +269,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngram_fraction": dup_ngram_fraction,
         "tfidf_top_terms": tfidf_top_terms,
         "term_postings": term_postings,
+        "unigram_logprob": unigram_logprob,
         "source_cap_sample": source_cap_sample,
         "pack_sequences": pack_sequences,
         # trainer-side ops (SURVEY §2.6 O3, §2.5 A5)
@@ -411,6 +414,7 @@ def build_oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": tfidf_top_terms_sql(),
         "label_centroids": LABEL_CENTROIDS_SQL,
         "term_postings": term_postings_sql(),
+        "unigram_logprob": UNIGRAM_LOGPROB_SQL,
         "source_cap_sample": source_cap_sample_sql(),
         "pack_sequences": pack_sequences_sql(),
         # no oracle (non-SQL-expressible; driver records rows-only):

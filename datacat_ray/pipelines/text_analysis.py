@@ -1338,3 +1338,119 @@ def term_postings_sql(cap: int = POSTINGS_CAP) -> str:
                    AS postings
         FROM td GROUP BY term
     """
+
+
+# ---------------------------------------------------------------------------
+# unigram LM scoring (CCNet-style perplexity filter shape)
+# ---------------------------------------------------------------------------
+
+
+def unigram_logprob(sf_dir: str) -> "ray.data.Dataset":
+    """Per-doc unigram negative log-likelihood under the corpus's own
+    unigram model — the CCNet/Wikipedia-LM quality-filter shape (docs with
+    high average NLL are "surprising" relative to the corpus: noise, spam,
+    wrong language).
+
+    Pass 1 builds the model with the map-side combiner (vocabulary-sized
+    exchange) and broadcasts {term: count} + the exact total once.
+    Pass 2 is doc-local. Every token's nll is rounded to integer micros
+    BEFORE summation, so the per-doc totals are exact integer sums —
+    order-independent and bit-equal to the SQL mirror (a float sum of logs
+    would be summation-order-dependent on both sides)."""
+    import collections
+
+    from ray.data.aggregate import Sum
+
+    from datacat_ray.stages.bucketed import cached_ref
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def _partial_counts(batch: pa.Table) -> pa.Table:
+        c: collections.Counter = collections.Counter()
+        for t in batch["text"].to_pylist():
+            c.update(ascii_tokens(t))
+        return pa.Table.from_pydict(
+            {
+                "term": pa.array(list(c.keys()), pa.string()),
+                "partial": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    freq_rows = (
+        ds.map_batches(_partial_counts, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("partial", alias_name="n"))
+        .take_all()  # vocabulary-sized
+    )
+    freq = {r["term"]: r["n"] for r in freq_rows}
+    total = sum(freq.values())
+    import ray as _ray
+
+    freq_ref = _ray.put(freq)
+
+    _nll_cache: dict[int, dict[str, int]] = {}
+
+    def _score(batch: pa.Table) -> pa.Table:
+        f = cached_ref(freq_ref)
+        # one log per VOCAB TERM per worker, not one per token occurrence
+        nll_of = _nll_cache.get(id(f))
+        if nll_of is None:
+            nll_of = {
+                w: int(np.floor(-np.log(n / total) * 1_000_000 + 0.5))
+                for w, n in f.items()
+            }
+            _nll_cache.clear()
+            _nll_cache[id(f)] = nll_of
+        out_doc, out_n, out_nll = [], [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = ascii_tokens(text)
+            out_doc.append(doc_id)
+            out_n.append(len(toks))
+            out_nll.append(sum(map(nll_of.__getitem__, toks)))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "n_tokens": pa.array(out_n, pa.int64()),
+                "nll_micros": pa.array(out_nll, pa.int64()),
+                "avg_nll_micros": pa.array(
+                    [v // n if n else 0 for v, n in zip(out_nll, out_n)],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return ds.map_batches(_score, batch_format="pyarrow")
+
+
+UNIGRAM_LOGPROB_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(text, '\s+')) AS term
+        FROM documents
+    ), tok AS (
+        SELECT doc_id, term FROM toks WHERE term <> ''
+    ), freq AS (
+        SELECT term, COUNT(*) AS n FROM tok GROUP BY 1
+    ), tot AS (
+        SELECT COUNT(*) AS total FROM tok
+    ), scored AS (
+        SELECT tok.doc_id,
+               CAST(FLOOR(-ln(freq.n / (tot.total * 1.0)) * 1000000 + 0.5)
+                    AS BIGINT) AS tok_nll
+        FROM tok JOIN freq USING (term), tot
+    ), per AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(tok_nll) AS BIGINT) AS nll_micros
+        FROM scored GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(per.n_tokens, 0) AS n_tokens,
+           COALESCE(per.nll_micros, 0) AS nll_micros,
+           CAST(CASE WHEN COALESCE(per.n_tokens, 0) = 0 THEN 0
+                ELSE per.nll_micros // per.n_tokens END AS BIGINT)
+               AS avg_nll_micros
+    FROM documents d LEFT JOIN per USING (doc_id)
+"""
