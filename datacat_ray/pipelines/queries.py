@@ -52,8 +52,10 @@ from datacat_ray.pipelines.relational import (
     ROLLING_USER_REVENUE_SQL,
     SHIP_CUTOFF,
     VALUE_PERCENTILES_SQL,
+    DOC_LENGTH_RANKS_SQL,
     asof_purchase_attribution,
     distinct_event_types,
+    doc_length_ranks,
     revenue_by_region_nation,
     docs_by_lang,
     events_per_user_day,
@@ -231,6 +233,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_region_nation": revenue_by_region_nation,
         "approx_distinct_users": approx_distinct_users,
         "docs_by_lang": docs_by_lang,
+        "doc_length_ranks": doc_length_ranks,
         "rolling_user_revenue": rolling_user_revenue,
         "value_percentiles": value_percentiles,
         "order_lineitem_join": order_lineitem_join,
@@ -415,6 +418,7 @@ def build_oracle_sql() -> dict[str, str]:
         "label_centroids": LABEL_CENTROIDS_SQL,
         "term_postings": term_postings_sql(),
         "unigram_logprob": UNIGRAM_LOGPROB_SQL,
+        "doc_length_ranks": DOC_LENGTH_RANKS_SQL,
         "source_cap_sample": source_cap_sample_sql(),
         "pack_sequences": pack_sequences_sql(),
         # no oracle (non-SQL-expressible; driver records rows-only):

@@ -717,3 +717,92 @@ def docs_by_lang(sf_dir: str) -> "ray.data.Dataset":
         Sum("n_chars", alias_name="sum_chars"),
         Max("n_chars", alias_name="max_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# global ranking (row_number over a corpus-wide total order)
+# ---------------------------------------------------------------------------
+
+
+def doc_length_ranks(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, n_chars, rank): every document's global rank under
+    (n_chars DESC, doc_id ASC) — the distributed ``row_number()`` over a
+    total order, which no single stage can see.
+
+    Shape (same offset trick as ``packing.pack_sequences``): a map-side
+    combined count per DISTINCT key value gives a small driver table
+    (distinct lengths, not docs — ≤ ~10^6 ints at any corpus size); an
+    exclusive prefix sum over the sorted keys yields each key's global
+    starting rank, broadcast once; then ONE hash shuffle on the key and a
+    vectorized per-bucket kernel ranks ties by doc_id and adds the
+    offset. No global sort, no per-key Python."""
+    import numpy as np
+    import ray as _ray
+
+    from ray.data.aggregate import Sum
+
+    from datacat_ray.stages.bucketed import cached_ref
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def _key_partials(t: pa.Table) -> pa.Table:
+        return t.group_by(["n_chars"]).aggregate([("doc_id", "count")])
+
+    key_rows = (
+        ds.map_batches(_key_partials, batch_format="pyarrow")
+        .groupby("n_chars")
+        .aggregate(Sum("doc_id_count", alias_name="n"))
+        .take_all()  # one row per DISTINCT length
+    )
+    key_rows.sort(key=lambda r: -r["n_chars"])
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in key_rows:
+        offsets[r["n_chars"]] = acc
+        acc += r["n"]
+    off_ref = _ray.put(offsets)
+
+    from datacat_ray.stages.bucketed import add_bucket, sorted_key_bounds
+
+    def _rank_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        off = cached_ref(off_ref)
+        order = _pc.sort_indices(
+            t, sort_keys=[("n_chars", "ascending"), ("doc_id", "ascending")]
+        )
+        t = t.take(order)
+        nc = t["n_chars"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(nc)
+        starts = sorted_key_bounds(nc)
+        run_len = np.diff(np.append(starts, n))
+        within = np.arange(n, dtype=np.int64) - np.repeat(starts, run_len)
+        base = np.array([off[int(v)] for v in nc[starts]], dtype=np.int64)
+        rank = np.repeat(base, run_len) + within + 1
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": t["n_chars"],
+                "rank": pa.array(rank, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(
+            lambda t: add_bucket(t, "n_chars"), batch_format="pyarrow"
+        )
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: _rank_bucket(g.drop_columns(["__bucket"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+DOC_LENGTH_RANKS_SQL = """
+    SELECT doc_id, n_chars,
+           row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rank
+    FROM documents
+"""
