@@ -71,7 +71,10 @@ from datacat_ray.pipelines.relational import (
     user_sessions_sql,
     value_percentiles,
 )
-from datacat_ray.pipelines.sketches import approx_distinct_users
+from datacat_ray.pipelines.sketches import (
+    approx_distinct_users,
+    approx_users_per_type,
+)
 from datacat_ray.pipelines.similarity import (
     LABEL_CENTROIDS_SQL,
     brute_force_topk,
@@ -232,6 +235,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "distinct_event_types": distinct_event_types,
         "revenue_by_region_nation": revenue_by_region_nation,
         "approx_distinct_users": approx_distinct_users,
+        "approx_users_per_type": approx_users_per_type,
         "docs_by_lang": docs_by_lang,
         "doc_length_ranks": doc_length_ranks,
         "rolling_user_revenue": rolling_user_revenue,

@@ -90,3 +90,85 @@ def approx_distinct_users(sf_dir: str) -> pa.Table:
             "rel_error_bound": pa.array([round(err, 4)], pa.float64()),
         }
     )
+
+
+def grouped_hll_partials(
+    t: pa.Table, key: str, column: str
+) -> pa.Table:
+    """One batch → ≤ |keys-in-batch| rows of (key, 4 KB register blob):
+    the per-group HLL partial. Vectorized per group slice after one sort."""
+    import pyarrow.compute as pc
+
+    order = pc.sort_indices(t, sort_keys=[(key, "ascending")])
+    t = t.take(order)
+    keys = t[key].to_pylist()
+    out_k, out_r = [], []
+    i = 0
+    while i < len(keys):
+        j = i
+        while j < len(keys) and keys[j] == keys[i]:
+            j += 1
+        out_k.append(keys[i])
+        out_r.append(hll_registers(t[column].slice(i, j - i)).tobytes())
+        i = j
+    return pa.Table.from_pydict(
+        {key: pa.array(out_k), "regs": pa.array(out_r, pa.binary())}
+    )
+
+
+def approx_users_per_type(sf_dir: str) -> pa.Table:
+    """Approx distinct user_id per event_type — the grouped-sketch shape:
+    per-batch (event_type, registers) partials, merged per key by
+    elementwise max. The exchange is |event_types| × 4 KB blobs per batch,
+    never raw user_ids; the exact side rides along as the correctness
+    anchor (grouped nunique is cheap at test scale, shuffle-bound at
+    10^12)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+
+    parts: dict[str, list[np.ndarray]] = {}
+
+    def _partial(t: pa.Table) -> pa.Table:
+        return grouped_hll_partials(t, "event_type", "user_id")
+
+    for b in ds.map_batches(_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=1024
+    ):
+        for k, r in zip(b["event_type"].to_pylist(), b["regs"].to_pylist()):
+            parts.setdefault(k, []).append(np.frombuffer(r, dtype=np.uint8))
+
+    # exact anchor: distributed distinct-pairs (local distinct → one
+    # two-key groupby) then a per-type count — never raw rows driver-side
+    from ray.data.aggregate import Sum
+
+    pairs = ds.map_batches(
+        lambda t: t.group_by(["event_type", "user_id"]).aggregate([]),
+        batch_format="pyarrow",
+    )
+    exact_rows = (
+        pairs.groupby(["event_type", "user_id"])
+        .count()
+        .map_batches(
+            lambda t: t.group_by(["event_type"]).aggregate(
+                [("user_id", "count")]
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("event_type")
+        .aggregate(Sum("user_id_count", alias_name="exact"))
+        .take_all()
+    )
+    exact = {r["event_type"]: r["exact"] for r in exact_rows}
+
+    keys = sorted(parts)
+    return pa.Table.from_pydict(
+        {
+            "event_type": pa.array(keys, pa.string()),
+            "exact": pa.array([exact[k] for k in keys], pa.int64()),
+            "approx": pa.array(
+                [round(hll_estimate(hll_merge(parts[k]))) for k in keys],
+                pa.int64(),
+            ),
+        }
+    )

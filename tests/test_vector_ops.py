@@ -115,3 +115,29 @@ def test_kmeans_split_invariant(ray_session):
     finally:
         ctx.target_max_block_size = old
     assert a == b
+
+
+def test_approx_users_per_type(ray_session):
+    import duckdb
+
+    from datacat_ray.pipelines.sketches import approx_users_per_type
+
+    out = approx_users_per_type(SF)
+    got = {
+        k: (e, a)
+        for k, e, a in zip(
+            out["event_type"].to_pylist(),
+            out["exact"].to_pylist(),
+            out["approx"].to_pylist(),
+        )
+    }
+    want = dict(
+        duckdb.sql(
+            f"SELECT event_type, COUNT(DISTINCT user_id) FROM "
+            f"read_parquet('{SF}/events.parquet') GROUP BY 1"
+        ).fetchall()
+    )
+    assert set(got) == set(want)
+    for k, (e, a) in got.items():
+        assert e == want[k], k
+        assert abs(a - e) <= max(5, 0.1 * e), (k, a, e)  # ~1.6% typical
