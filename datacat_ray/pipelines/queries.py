@@ -94,6 +94,8 @@ from datacat_ray.pipelines.text_analysis import (
     TOKEN_COUNT_BPE_SQL,
     TOP_BIGRAMS_SQL,
     TOP_TERMS_SQL,
+    CORPUS_GATE_SQL,
+    corpus_gate,
     dup_ngram_fraction,
     dup_ngram_fraction_sql,
     term_postings,
@@ -267,6 +269,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": text_stats,
         "top_terms": lambda sf: top_terms(sf, k=20),
         "corpus_filter": corpus_filter,
+        "corpus_gate": corpus_gate,
         "redact_pii": redact_pii,
         "lang_id": lang_id,
         "quality_score": quality_score,
@@ -400,6 +403,7 @@ def build_oracle_sql() -> dict[str, str]:
         "quality_band_eval": QUALITY_BAND_EVAL_SQL,
         "top_terms": TOP_TERMS_SQL,
         "corpus_filter": CORPUS_FILTER_SQL,
+        "corpus_gate": CORPUS_GATE_SQL,
         "redact_pii": REDACT_PII_SQL,
         "lang_id": lang_id_sql(),
         "fingerprint": fingerprint_sql(),

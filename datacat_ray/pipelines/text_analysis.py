@@ -1454,3 +1454,87 @@ UNIGRAM_LOGPROB_SQL = r"""
                AS avg_nll_micros
     FROM documents d LEFT JOIN per USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# corpus gate (Dolma-style mixer: signals → keep/drop + first-fail reason)
+# ---------------------------------------------------------------------------
+
+GATE_MIN_WORDS = 20
+GATE_MAX_CHARS = 100_000
+GATE_DUP_WORD_PCT = 40  # drop when duplicated-word fraction > 40%
+GATE_LANGS = ("en", "fr", "de", "es")
+
+
+def corpus_gate(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, keep, reason): the mixer every crawl corpus runs before
+    training — each doc either passes every gate (reason='ok') or is
+    tagged with the FIRST failing rule, so downstream can both filter and
+    audit drop composition. Rules are integer/set comparisons only (the
+    duplicate-word test is ``(n - distinct) * 100 > pct * n``), one
+    doc-local pass, no shuffle."""
+    allowed = frozenset(GATE_LANGS)
+
+    def _gate(t: pa.Table) -> pa.Table:
+        keeps, reasons = [], []
+        for text, lang, n_chars in zip(
+            t["text"].to_pylist(), t["lang"].to_pylist(),
+            t["n_chars"].to_pylist(),
+        ):
+            words = ascii_tokens(text)
+            n = len(words)
+            if n < GATE_MIN_WORDS:
+                r = "too_short"
+            elif n_chars > GATE_MAX_CHARS:
+                r = "too_long"
+            elif (n - len(set(words))) * 100 > GATE_DUP_WORD_PCT * n:
+                r = "dup_words"
+            elif lang not in allowed:
+                r = "lang"
+            else:
+                r = "ok"
+            keeps.append(r == "ok")
+            reasons.append(r)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "keep": pa.array(keeps, pa.bool_()),
+                "reason": pa.array(reasons, pa.string()),
+            }
+        )
+
+    return _read_documents(
+        sf_dir, ["doc_id", "text", "lang", "n_chars"]
+    ).map_batches(_gate, batch_format="pyarrow")
+
+
+CORPUS_GATE_SQL = rf"""
+    WITH w AS (
+        SELECT doc_id, lang, n_chars,
+               CASE WHEN text IS NULL OR trim(text) = ''
+                    THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
+        FROM documents
+    ), c AS (
+        SELECT doc_id, lang, n_chars,
+               len(ws) AS n,
+               len(list_distinct(ws)) AS nd
+        FROM w
+    )
+    SELECT doc_id,
+           CASE
+               WHEN n < {GATE_MIN_WORDS} THEN 'too_short'
+               WHEN n_chars > {GATE_MAX_CHARS} THEN 'too_long'
+               WHEN (n - nd) * 100 > {GATE_DUP_WORD_PCT} * n THEN 'dup_words'
+               WHEN lang NOT IN {GATE_LANGS!r} THEN 'lang'
+               ELSE 'ok'
+           END AS reason,
+           CASE
+               WHEN n < {GATE_MIN_WORDS} THEN FALSE
+               WHEN n_chars > {GATE_MAX_CHARS} THEN FALSE
+               WHEN (n - nd) * 100 > {GATE_DUP_WORD_PCT} * n THEN FALSE
+               WHEN lang NOT IN {GATE_LANGS!r} THEN FALSE
+               ELSE TRUE
+           END AS keep
+    FROM c
+"""

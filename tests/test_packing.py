@@ -266,3 +266,36 @@ def test_term_postings_matches_brute_force(ray_session):
         w: (len(ds), ",".join(map(str, sorted(ds)[:cap])))
         for w, ds in want.items()
     }
+
+
+def test_corpus_gate_reasons(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datacat_ray.pipelines.text_analysis import corpus_gate
+
+    rows = [
+        (0, "word " * 30, "en", 150, True, "ok"),
+        (1, "short text", "en", 10, False, "too_short"),
+        (2, "x " * 25, "en", 50, False, "dup_words"),  # 25 dups of one word
+        (3, "word " * 30, "zh", 150, False, "lang"),
+        (4, " ".join(f"w{i}" for i in range(30)), "en", 200_000, False,
+         "too_long"),
+        (5, None, "en", 0, False, "too_short"),
+    ]
+    tbl = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array(["s"] * len(rows), pa.string()),
+            "n_chars": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+    d = tmp_path / "g"
+    d.mkdir()
+    pq.write_table(tbl, d / "documents.parquet")
+    got = {r["doc_id"]: (r["keep"], r["reason"])
+           for r in corpus_gate(str(d)).take_all()}
+    for doc_id, _, _, _, keep, reason in rows:
+        assert got[doc_id] == (keep, reason), doc_id
