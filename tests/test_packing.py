@@ -275,10 +275,10 @@ def test_corpus_gate_reasons(ray_session, tmp_path):
     from datacat_ray.pipelines.text_analysis import corpus_gate
 
     rows = [
-        (0, "word " * 30, "en", 150, True, "ok"),
+        (0, " ".join(f"v{i}" for i in range(30)), "en", 150, True, "ok"),
         (1, "short text", "en", 10, False, "too_short"),
         (2, "x " * 25, "en", 50, False, "dup_words"),  # 25 dups of one word
-        (3, "word " * 30, "zh", 150, False, "lang"),
+        (3, " ".join(f"v{i}" for i in range(30)), "zh", 150, False, "lang"),
         (4, " ".join(f"w{i}" for i in range(30)), "en", 200_000, False,
          "too_long"),
         (5, None, "en", 0, False, "too_short"),
