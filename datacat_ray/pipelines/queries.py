@@ -53,7 +53,9 @@ from datacat_ray.pipelines.relational import (
     SHIP_CUTOFF,
     VALUE_PERCENTILES_SQL,
     DOC_LENGTH_RANKS_SQL,
+    ERROR_WINDOW_COUNTS_SQL,
     asof_purchase_attribution,
+    error_window_counts,
     distinct_event_types,
     doc_length_ranks,
     revenue_by_region_nation,
@@ -240,6 +242,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "approx_users_per_type": approx_users_per_type,
         "docs_by_lang": docs_by_lang,
         "doc_length_ranks": doc_length_ranks,
+        "error_window_counts": error_window_counts,
         "rolling_user_revenue": rolling_user_revenue,
         "value_percentiles": value_percentiles,
         "order_lineitem_join": order_lineitem_join,
@@ -427,6 +430,7 @@ def build_oracle_sql() -> dict[str, str]:
         "term_postings": term_postings_sql(),
         "unigram_logprob": UNIGRAM_LOGPROB_SQL,
         "doc_length_ranks": DOC_LENGTH_RANKS_SQL,
+        "error_window_counts": ERROR_WINDOW_COUNTS_SQL,
         "source_cap_sample": source_cap_sample_sql(),
         "pack_sequences": pack_sequences_sql(),
         # no oracle (non-SQL-expressible; driver records rows-only):

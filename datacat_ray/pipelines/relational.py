@@ -806,3 +806,94 @@ DOC_LENGTH_RANKS_SQL = """
            row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rank
     FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# interval self-join (events within a time window of anchor events)
+# ---------------------------------------------------------------------------
+
+WINDOW_SECONDS = 300
+
+
+def error_window_counts(
+    sf_dir: str, window_s: int = WINDOW_SECONDS, anchor: str = "error"
+) -> "ray.data.Dataset":
+    """(event_id, n_nearby): for every ``anchor``-type event, how many
+    OTHER events the same user produced within ±``window_s`` seconds — the
+    interval/range self-join (incident-context collection).
+
+    Shape: one hash shuffle on the user bucket; inside each bucket the
+    kernel sorts by (user, ts) once and answers every window with two
+    ``searchsorted`` calls over a composite (local-user-code, ts) key —
+    never the quadratic pairwise join the SQL oracle spells. Composite
+    range: user codes are re-coded 0..u_b PER BUCKET, so the int64
+    composite needs only (users/buckets) × (ts-span + 2·window); scaling
+    the bucket count with the user count keeps it in range at any scale
+    (documented partitioning assumption)."""
+    import numpy as np
+
+    from datacat_ray.stages.bucketed import add_bucket
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    w_us = np.int64(window_s * 1_000_000)
+
+    def _bucket_kernel(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        order = _pc.sort_indices(
+            t, sort_keys=[("user_id", "ascending"), ("ts", "ascending"),
+                          ("event_id", "ascending")]
+        )
+        t = t.take(order)
+        ts = _pc.cast(t["ts"], pa.int64()).combine_chunks().to_numpy()
+        uid = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        etype = t["event_type"].to_pylist()
+        eid = t["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        if not len(ts):
+            return pa.Table.from_pydict(
+                {"event_id": pa.array([], pa.int64()),
+                 "n_nearby": pa.array([], pa.int64())}
+            )
+        _, ucode = np.unique(uid, return_inverse=True)
+        t0 = ts.min()
+        span = np.int64(ts.max() - t0 + 2 * w_us + 2)
+        comp = ucode.astype(np.int64) * span + (ts - t0) + w_us + 1
+        is_anchor = np.array([e == anchor for e in etype], dtype=bool)
+        a_comp = comp[is_anchor]
+        lo = np.searchsorted(comp, a_comp - w_us, side="left")
+        hi = np.searchsorted(comp, a_comp + w_us, side="right")
+        n = hi - lo - 1  # the anchor row itself always falls in its window
+        return pa.Table.from_pydict(
+            {
+                "event_id": pa.array(eid[is_anchor], pa.int64()),
+                "n_nearby": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(
+            lambda t: add_bucket(t, "user_id"), batch_format="pyarrow"
+        )
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: _bucket_kernel(g.drop_columns(["__bucket"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+ERROR_WINDOW_COUNTS_SQL = f"""
+    SELECT e.event_id,
+           CAST(COUNT(o.event_id) AS BIGINT) AS n_nearby
+    FROM events e
+    LEFT JOIN events o
+      ON o.user_id = e.user_id
+     AND o.event_id <> e.event_id
+     AND o.ts BETWEEN e.ts - INTERVAL {WINDOW_SECONDS} SECOND
+                  AND e.ts + INTERVAL {WINDOW_SECONDS} SECOND
+    WHERE e.event_type = 'error'
+    GROUP BY 1
+"""

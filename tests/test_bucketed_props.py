@@ -160,3 +160,34 @@ def test_asof_composite_matches_brute_force(rows):
         if best is not None:
             want[int(pe)] = int(best[1])
     assert got == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(rows_strategy)
+def test_interval_window_kernel_matches_brute_force(rows):
+    """The composite searchsorted ±W window count against a quadratic
+    per-anchor scan (alternating rows become anchors)."""
+    if not rows:
+        return
+    W = 50
+    uid = np.array([r[0] for r in rows], dtype=np.int64)
+    ts = np.array([r[1] for r in rows], dtype=np.int64)
+    eid = np.arange(len(rows), dtype=np.int64)
+    order = np.lexsort((eid, ts, uid))
+    uid, ts, eid = uid[order], ts[order], eid[order]
+    is_anchor = eid % 2 == 0
+    _, ucode = np.unique(uid, return_inverse=True)
+    t0 = ts.min()
+    span = np.int64(ts.max() - t0 + 2 * W + 2)
+    comp = ucode.astype(np.int64) * span + (ts - t0) + W + 1
+    a_comp = comp[is_anchor]
+    lo = np.searchsorted(comp, a_comp - W, side="left")
+    hi = np.searchsorted(comp, a_comp + W, side="right")
+    got = dict(zip(eid[is_anchor].tolist(), (hi - lo - 1).tolist()))
+    want = {}
+    for ae, au, at in zip(eid[is_anchor], uid[is_anchor], ts[is_anchor]):
+        want[int(ae)] = sum(
+            1 for oe, ou, ot in zip(eid, uid, ts)
+            if oe != ae and ou == au and at - W <= ot <= at + W
+        )
+    assert got == want
