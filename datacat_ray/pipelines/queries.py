@@ -98,6 +98,8 @@ from datacat_ray.pipelines.text_analysis import (
     TOP_TERMS_SQL,
     CORPUS_GATE_SQL,
     corpus_gate,
+    deterministic_shuffle,
+    deterministic_shuffle_sql,
     dup_ngram_fraction,
     dup_ngram_fraction_sql,
     term_postings,
@@ -273,6 +275,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": lambda sf: top_terms(sf, k=20),
         "corpus_filter": corpus_filter,
         "corpus_gate": corpus_gate,
+        "deterministic_shuffle": deterministic_shuffle,
         "redact_pii": redact_pii,
         "lang_id": lang_id,
         "quality_score": quality_score,
@@ -407,6 +410,7 @@ def build_oracle_sql() -> dict[str, str]:
         "top_terms": TOP_TERMS_SQL,
         "corpus_filter": CORPUS_FILTER_SQL,
         "corpus_gate": CORPUS_GATE_SQL,
+        "deterministic_shuffle": deterministic_shuffle_sql(),
         "redact_pii": REDACT_PII_SQL,
         "lang_id": lang_id_sql(),
         "fingerprint": fingerprint_sql(),

@@ -1538,3 +1538,107 @@ CORPUS_GATE_SQL = rf"""
            END AS keep
     FROM c
 """
+
+
+# ---------------------------------------------------------------------------
+# deterministic corpus shuffle (reproducible training order)
+# ---------------------------------------------------------------------------
+
+
+def deterministic_shuffle(sf_dir: str, seed: str = "epoch0") -> "ray.data.Dataset":
+    """(doc_id, shuffle_rank): a reproducible global permutation — rank in
+    ascending md5(seed || ':' || doc_id) order. This is how a training run
+    pins its data order across re-runs and resumes (``random_shuffle`` is
+    nondeterministic across cluster shapes; a hash rank is a pure function
+    of the data).
+
+    Shape: md5 is uniform, so the first hash byte range-partitions the
+    corpus into 256 even buckets. Pass 1 counts per bucket with a map-side
+    combine (256-row exchange) and prefix-sums offsets on the driver; pass
+    2 is ONE shuffle on the hash byte plus an in-bucket sort — global rank
+    with no global sort, balanced by construction (no skew mitigation
+    needed: uniformity is the partitioner). md5 (not a faster 128-bit
+    hash) is deliberate: DuckDB computes the identical digest, making the
+    permutation SQL-checkable."""
+    import hashlib
+
+    import ray as _ray
+
+    from ray.data.aggregate import Sum
+
+    from datacat_ray.stages.bucketed import cached_ref
+
+    ds = _read_documents(sf_dir, ["doc_id"])
+
+    def _digests(t: pa.Table) -> tuple[list[str], np.ndarray]:
+        hs = [
+            hashlib.md5(f"{seed}:{d}".encode()).hexdigest()
+            for d in t["doc_id"].to_pylist()
+        ]
+        return hs, np.array([int(h[:2], 16) for h in hs], dtype=np.int32)
+
+    def _count(t: pa.Table) -> pa.Table:
+        _, b = _digests(t)
+        return pa.Table.from_pydict(
+            {
+                "b": pa.array(np.arange(256, dtype=np.int32)),
+                "n": pa.array(np.bincount(b, minlength=256).astype(np.int64)),
+            }
+        )
+
+    counts = (
+        ds.map_batches(_count, batch_format="pyarrow")
+        .groupby("b")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    per_b = {r["b"]: r["n"] for r in counts}
+    offsets = np.zeros(256, dtype=np.int64)
+    acc = 0
+    for b in range(256):
+        offsets[b] = acc
+        acc += per_b.get(b, 0)
+    off_ref = _ray.put(offsets)
+
+    def _tag(t: pa.Table) -> pa.Table:
+        hs, b = _digests(t)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "h": pa.array(hs, pa.string()),
+                "__bucket": pa.array(b),
+            }
+        )
+
+    def _rank_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        off = cached_ref(off_ref)
+        order = _pc.sort_indices(t, sort_keys=[("h", "ascending")])
+        t = t.take(order)
+        b = int(t["__bucket"][0].as_py())
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "shuffle_rank": pa.array(
+                    off[b] + 1 + np.arange(t.num_rows, dtype=np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(_tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_rank_bucket, batch_format="pyarrow")
+    )
+
+
+def deterministic_shuffle_sql(seed: str = "epoch0") -> str:
+    return f"""
+        SELECT doc_id,
+               row_number() OVER (
+                   ORDER BY md5('{seed}' || ':' || CAST(doc_id AS VARCHAR)))
+                   AS shuffle_rank
+        FROM documents
+    """
