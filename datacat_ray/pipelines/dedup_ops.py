@@ -861,3 +861,242 @@ def embedding_neardup_pairs(
         )
 
     return cands.map_batches(_verify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level dedup (Dolma-style span removal)
+# ---------------------------------------------------------------------------
+
+PARA_W = 5  # words per segment (the "paragraph" unit on newline-free corpora)
+_SEG_STRIDE = 1 << 20  # global segment key = doc_id * stride + seg_id
+
+
+def _doc_segments(text: str, w: int = PARA_W) -> list[str]:
+    """Non-overlapping ``w``-word segments in document order (last one may
+    be short). Splits on single spaces — the exact inverse of the space
+    join used to rebuild, so dedup_text round-trips byte-identically when
+    nothing is dropped."""
+    words = text.split(" ")
+    return [" ".join(words[i : i + w]) for i in range(0, len(words), w)]
+
+
+def paragraph_dedup(sf_dir: str, w: int = PARA_W) -> "ray.data.Dataset":
+    """Dolma-style paragraph dedup: every segment keeps only its FIRST
+    corpus-wide occurrence (order = (doc_id, seg_id)); later occurrences
+    are cut out of their documents. Returns (doc_id, dedup_text, n_segs,
+    n_dropped) per document — dedup_text is null when every segment was a
+    duplicate. Newline-delimited corpora would swap ``_doc_segments`` for a
+    '\\n' split; the pipeline shape is identical.
+
+    Scale shape (three narrow exchanges, the wide text column never
+    shuffles):
+      1. explode to (seg_hash:int64, seg_key:int64) — 16 bytes/segment,
+         regardless of segment text width;
+      2. one hash shuffle on a bucket of seg_hash; per-bucket vectorized
+         min-per-run kernel emits only the DROPPED keys (duplicate volume,
+         not corpus volume);
+      3. dropped keys (unioned with one 16-byte sentinel row per doc, so
+         every doc owns exactly one decision row) aggregate to a per-doc
+         id-blob — second narrow shuffle, keyed by doc bucket — and join
+         back to documents (``Dataset.join``; the doc side of that join is
+         the pipeline's one wide exchange, same volume class as D1's
+         dedup shuffle). Rebuild is a document-local re-split. The 100 TB
+         variant swaps the join for the flagship's winner-parquet
+         prefilter (stages/dedup.py:compute_winners_parquet): decision
+         blobs land in bucket-partitioned parquet and a doc-local filter
+         stage loads its buckets via a per-worker LRU — text never
+         shuffles at all.
+    Dolma itself uses a bloom filter for step 2's membership test; the
+    exact min-key exchange here is deterministic (oracle-able) and its
+    shuffle volume is bounded by segment count, not text bytes. 64-bit
+    segment hashes stand in for segment text equality (collision odds at
+    10^12 segments ~ 3e-6 per corpus; step 2 could carry the text for
+    exactness at 10x exchange width)."""
+    from datacat_ray.stages.bucketed import add_bucket, sorted_key_bounds
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def _explode(t: pa.Table) -> pa.Table:
+        hs: list[int] = []
+        keys: list[int] = []
+        for doc_id, text in zip(
+            t["doc_id"].to_pylist(), t["text"].to_pylist()
+        ):
+            for i, seg in enumerate(_doc_segments(text or "", w)):
+                hs.append(fnv1a64(seg.encode("utf-8")) - (1 << 63))
+                keys.append(doc_id * _SEG_STRIDE + i)
+        return add_bucket(
+            pa.Table.from_pydict(
+                {"h": pa.array(hs, type=pa.int64()),
+                 "key": pa.array(keys, type=pa.int64())}
+            ),
+            "h",
+        )
+
+    def _dropped(g: pa.Table) -> pa.Table:
+        # sort by (h, key); within each h-run the first key is the keeper
+        order = pc.sort_indices(
+            g, sort_keys=[("h", "ascending"), ("key", "ascending")]
+        )
+        h = pc.take(g["h"], order).combine_chunks().to_numpy()
+        k = pc.take(g["key"], order).combine_chunks().to_numpy()
+        if len(h) == 0:
+            return pa.Table.from_pydict(
+                {"doc_id": pa.array([], pa.int64()),
+                 "seg_id": pa.array([], pa.int64())}
+            )
+        starts = sorted_key_bounds(h)
+        keep = np.zeros(len(h), dtype=bool)
+        keep[starts] = True
+        drop = k[~keep]
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(drop // _SEG_STRIDE),
+             "seg_id": pa.array(drop % _SEG_STRIDE)}
+        )
+
+    dropped = (
+        docs.map_batches(_explode, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: _dropped(g.drop_columns(["__bucket"])),
+            batch_format="pyarrow",
+        )
+    )
+
+    def _doc_lists(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[("doc_id", "ascending"), ("seg_id", "ascending")]
+        )
+        d = pc.take(g["doc_id"], order).combine_chunks().to_numpy()
+        s = pc.take(g["seg_id"], order).combine_chunks().to_numpy()
+        if len(d) == 0:
+            return pa.Table.from_pydict(
+                {"doc_id": pa.array([], pa.int64()),
+                 "drop_ids": pa.array([], pa.binary())}
+            )
+        starts = sorted_key_bounds(d)
+        ends = np.append(starts[1:], len(d))
+        # packed little-endian int64 blob, not list<int64>: Arrow's hash
+        # join rejects nested payload columns, a binary column rides free.
+        # seg_id -1 sentinels (sorted first in each run) are excluded.
+        blobs = [
+            s[a:b][s[a:b] >= 0].astype("<i8").tobytes()
+            for a, b in zip(starts, ends)
+        ]
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(d[starts]),
+             "drop_ids": pa.array(blobs, type=pa.binary())}
+        )
+
+    drop_schema = pa.schema(
+        [("doc_id", pa.int64()), ("drop_ids", pa.binary())]
+    )
+
+    def _pin_schema(t: pa.Table) -> pa.Table:
+        # a dup-free corpus leaves some shuffle partitions EMPTY and their
+        # blocks schema-less; the downstream hash join then can't find its
+        # key column — pin every block to the declared schema
+        if t.num_rows == 0:
+            return drop_schema.empty_table()
+        return t.cast(drop_schema)
+
+    # one sentinel decision row per doc: guarantees every hash-join
+    # partition that holds documents also holds matching decision rows
+    # (a right-side partition with zero blocks is schema-less and crashes
+    # Arrow's join on tiny/dup-free corpora), and turns the join into a
+    # co-partitioned 1:1 merge
+    sentinels = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"doc_id": t["doc_id"],
+             "seg_id": pa.array(
+                 np.full(t.num_rows, -1, dtype=np.int64))}
+        ),
+        batch_format="pyarrow",
+    )
+
+    drop_lists = (
+        dropped.union(sentinels)
+        .map_batches(
+            lambda t: add_bucket(t, "doc_id"), batch_format="pyarrow"
+        )
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: _doc_lists(g.drop_columns(["__bucket"])),
+            batch_format="pyarrow",
+        )
+        .map_batches(_pin_schema, batch_format="pyarrow")
+    )
+
+    n_parts = max(2, min(16, int(ray.cluster_resources().get("CPU", 8)) // 2))
+    # strip pandas schema metadata: the join's schema-dedup hashing chokes
+    # on the unhashable metadata dict (same workaround as add_bucket)
+    docs_clean = docs.map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+    )
+    joined = docs_clean.join(drop_lists, "inner", n_parts, on=("doc_id",))
+
+    def _rebuild(t: pa.Table) -> pa.Table:
+        out_text: list[str | None] = []
+        n_segs: list[int] = []
+        n_drop: list[int] = []
+        for text, drops in zip(
+            t["text"].to_pylist(), t["drop_ids"].to_pylist()
+        ):
+            segs = _doc_segments(text or "", w)
+            dset = (
+                set(np.frombuffer(drops, dtype="<i8").tolist())
+                if drops else set()
+            )
+            kept = [s for i, s in enumerate(segs) if i not in dset]
+            out_text.append(" ".join(kept) if kept else None)
+            n_segs.append(len(segs))
+            n_drop.append(len(dset))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "dedup_text": pa.array(out_text, type=pa.string()),
+                "n_segs": pa.array(n_segs, type=pa.int64()),
+                "n_dropped": pa.array(n_drop, type=pa.int64()),
+            }
+        )
+
+    return joined.map_batches(_rebuild, batch_format="pyarrow")
+
+
+PARAGRAPH_DEDUP_SQL = f"""
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               CAST(ceil(len(string_split(text, ' ')) / {PARA_W}.0) AS BIGINT)
+                   AS ns
+        FROM documents
+    ),
+    segs AS (
+        SELECT doc_id, i AS seg_id,
+               array_to_string(w[(i*{PARA_W}+1):(i*{PARA_W}+{PARA_W})], ' ')
+                   AS seg
+        -- series bound: generate_series is evaluated once; 4096 segments
+        -- covers any fixture doc (max ~100 words / {PARA_W} per doc) and the
+        -- i < ns predicate prunes the rest
+        FROM words JOIN generate_series(0, 4095) AS t(i)
+            ON t.i < words.ns
+    ),
+    first_occ AS (
+        SELECT seg, MIN(doc_id * {_SEG_STRIDE} + seg_id) AS first_key
+        FROM segs GROUP BY seg
+    ),
+    kept AS (
+        SELECT s.doc_id, s.seg_id, s.seg,
+               (s.doc_id * {_SEG_STRIDE} + s.seg_id) = f.first_key AS keep
+        FROM segs s JOIN first_occ f USING (seg)
+    )
+    SELECT doc_id,
+           string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY seg_id)
+               AS dedup_text,
+           COUNT(*) AS n_segs,
+           CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+    FROM kept GROUP BY doc_id
+"""

@@ -27,7 +27,9 @@ from datacat_ray.config import PipelineConfig
 from datacat_ray.fixtures import pages_from_documents
 from datacat_ray.pipelines.dedup_ops import (
     DUPLICATE_CLUSTERS_SQL,
+    PARAGRAPH_DEDUP_SQL,
     duplicate_clusters,
+    paragraph_dedup,
     embedding_neardup_pairs,
     exact_dedup,
     latest_events,
@@ -253,6 +255,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "latest_events": latest_events,
         "exact_dedup": exact_dedup,
         "duplicate_clusters": duplicate_clusters,
+        "paragraph_dedup": paragraph_dedup,
         "neardup_clusters": lambda sf: neardup_clusters(sf, threshold=0.7),
         "minhash_pairs": lambda sf: minhash_candidate_pairs(sf, threshold=0.7),
         "simhash_pairs": lambda sf: simhash_pairs(sf, max_hamming=3),
@@ -415,6 +418,7 @@ def build_oracle_sql() -> dict[str, str]:
         "lang_id": lang_id_sql(),
         "fingerprint": fingerprint_sql(),
         "duplicate_clusters": DUPLICATE_CLUSTERS_SQL,
+        "paragraph_dedup": PARAGRAPH_DEDUP_SQL,
         "token_count_bpe": TOKEN_COUNT_BPE_SQL,
         "rolling_user_revenue": ROLLING_USER_REVENUE_SQL,
         "value_percentiles": VALUE_PERCENTILES_SQL,
