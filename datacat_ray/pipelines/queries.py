@@ -55,9 +55,13 @@ from datacat_ray.pipelines.relational import (
     SHIP_CUTOFF,
     VALUE_PERCENTILES_SQL,
     DOC_LENGTH_RANKS_SQL,
+    CUSTOMERS_WITHOUT_URGENT_SQL,
     ERROR_WINDOW_COUNTS_SQL,
+    REVENUE_ROLLUP_SQL,
     asof_purchase_attribution,
+    customers_without_urgent_orders,
     error_window_counts,
+    revenue_rollup,
     distinct_event_types,
     doc_length_ranks,
     revenue_by_region_nation,
@@ -247,6 +251,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "docs_by_lang": docs_by_lang,
         "doc_length_ranks": doc_length_ranks,
         "error_window_counts": error_window_counts,
+        "customers_without_urgent_orders": customers_without_urgent_orders,
+        "revenue_rollup": revenue_rollup,
         "rolling_user_revenue": rolling_user_revenue,
         "value_percentiles": value_percentiles,
         "order_lineitem_join": order_lineitem_join,
@@ -439,6 +445,8 @@ def build_oracle_sql() -> dict[str, str]:
         "unigram_logprob": UNIGRAM_LOGPROB_SQL,
         "doc_length_ranks": DOC_LENGTH_RANKS_SQL,
         "error_window_counts": ERROR_WINDOW_COUNTS_SQL,
+        "customers_without_urgent_orders": CUSTOMERS_WITHOUT_URGENT_SQL,
+        "revenue_rollup": REVENUE_ROLLUP_SQL,
         "source_cap_sample": source_cap_sample_sql(),
         "pack_sequences": pack_sequences_sql(),
         # no oracle (non-SQL-expressible; driver records rows-only):

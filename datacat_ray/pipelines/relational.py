@@ -897,3 +897,149 @@ ERROR_WINDOW_COUNTS_SQL = f"""
     WHERE e.event_type = 'error'
     GROUP BY 1
 """
+
+
+def customers_without_urgent_orders(sf_dir: str) -> "ray.data.Dataset":
+    """Big-big shuffle ANTI-join: customers with no '1-URGENT' order.
+
+    Unlike ``decontaminate``'s broadcast anti-join (small probe side), here
+    NEITHER side is assumed driver-sized. Shape: the probe side collapses to
+    per-batch DISTINCT keys first (map-side combiner — shuffle volume is
+    bounded by distinct custkeys per batch, not order rows), both sides get
+    the same int hash bucket, and one union+groupby co-locates each key's
+    build and probe rows; a vectorized per-bucket kernel keeps build rows
+    whose key-run contains no probe marker (``np.maximum.reduceat`` over
+    sorted runs). Semantics = SQL NOT EXISTS / anti hash join."""
+    import numpy as np
+
+    from datacat_ray.stages.bucketed import add_bucket, sorted_key_bounds
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        lambda t: add_bucket(
+            pa.Table.from_pydict(
+                {"key": pc.cast(t["c_custkey"], pa.int64()),
+                 "c_name": t["c_name"],
+                 "probe": pa.array(
+                     np.zeros(t.num_rows, dtype=np.int8), pa.int8())}
+            ),
+            "key",
+        ),
+        batch_format="pyarrow",
+    )
+
+    def _probe_keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderpriority"], pa.scalar("1-URGENT")))
+        keys = pc.unique(t["o_custkey"].combine_chunks())
+        return add_bucket(
+            pa.Table.from_pydict(
+                {"key": pc.cast(keys, pa.int64()),
+                 "c_name": pa.array([None] * len(keys), pa.string()),
+                 "probe": pa.array(np.ones(len(keys), dtype=np.int8),
+                                   pa.int8())}
+            ),
+            "key",
+        )
+
+    probe = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).map_batches(
+        _probe_keys, batch_format="pyarrow"
+    )
+
+    def _anti(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[("key", "ascending")])
+        k = pc.take(g["key"], order).combine_chunks().to_numpy()
+        p = pc.take(g["probe"], order).combine_chunks().to_numpy()
+        names = pc.take(g["c_name"], order)
+        if not len(k):
+            return pa.Table.from_pydict(
+                {"c_custkey": pa.array([], pa.int64()),
+                 "c_name": pa.array([], pa.string())}
+            )
+        starts = sorted_key_bounds(k)
+        run_id = np.cumsum(np.isin(np.arange(len(k)), starts)) - 1
+        hit = np.maximum.reduceat(p, starts)  # 1 iff run has a probe row
+        keep = (p == 0) & (hit[run_id] == 0)
+        return pa.Table.from_pydict(
+            {"c_custkey": pa.array(k[keep], pa.int64()),
+             "c_name": names.filter(pa.array(keep))}
+        )
+
+    return (
+        cust.union(probe)
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: _anti(g.drop_columns(["__bucket"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+CUSTOMERS_WITHOUT_URGENT_SQL = """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderpriority = '1-URGENT'
+    )
+"""
+
+
+def revenue_rollup(sf_dir: str) -> "ray.data.Dataset":
+    """Hierarchical ROLLUP (region, nation) in ONE scan: the fact table is
+    aggregated once to the finest (r_name, n_name) level — same broadcast
+    dim cascade + map-side combiner as ``revenue_by_region_nation`` — and
+    the region subtotals and grand total are DERIVED from those ≤|region|×
+    |nation| finest rows, never re-scanning the fact table. The finest
+    level has dimension-bounded cardinality, so the derivation runs in a
+    single block (``repartition(1)`` over ~25 rows) at any fact scale.
+    Subtotal levels mark the rolled-up column with '' (the SQL mirrors via
+    COALESCE), keeping the hash comparison null-free."""
+    finest = revenue_by_region_nation(sf_dir)
+
+    def _expand(t: pa.Table) -> pa.Table:
+        lv0 = pa.Table.from_pydict(
+            {"r_name": t["r_name"], "n_name": t["n_name"],
+             "revenue_cents": t["revenue_cents"], "n_items": t["n_items"]}
+        )
+        lv1 = (
+            lv0.group_by(["r_name"])
+            .aggregate([("revenue_cents", "sum"), ("n_items", "sum")])
+            .rename_columns(["r_name", "revenue_cents", "n_items"])
+        )
+        lv1 = lv1.add_column(
+            1, "n_name", pa.array([""] * lv1.num_rows, pa.string()))
+        tot = pa.Table.from_pydict(
+            {"r_name": pa.array([""], pa.string()),
+             "n_name": pa.array([""], pa.string()),
+             "revenue_cents": pa.array(
+                 [pc.sum(lv0["revenue_cents"]).as_py() or 0], pa.int64()),
+             "n_items": pa.array(
+                 [pc.sum(lv0["n_items"]).as_py() or 0], pa.int64())}
+        )
+        cols = ["r_name", "n_name", "revenue_cents", "n_items"]
+        return pa.concat_tables([lv0.select(cols), lv1.select(cols), tot])
+
+    return finest.repartition(1).map_batches(_expand, batch_format="pyarrow")
+
+
+REVENUE_ROLLUP_SQL = """
+    WITH fin AS (
+        -- rounding happens ONCE at the finest level (as the engine does:
+        -- subtotals are derived from the already-scaled finest ints);
+        -- re-rounding region sums would diverge by up to n_nations/2 cents
+        SELECT r_name, n_name,
+               CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100)
+                    AS BIGINT) AS revenue_cents,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    )
+    SELECT COALESCE(r_name, '') AS r_name,
+           COALESCE(n_name, '') AS n_name,
+           CAST(SUM(revenue_cents) AS BIGINT) AS revenue_cents,
+           CAST(SUM(n_items) AS BIGINT) AS n_items
+    FROM fin GROUP BY ROLLUP (r_name, n_name)
+"""
