@@ -82,6 +82,8 @@ from datacat_ray.pipelines.relational import (
 from datacat_ray.pipelines.sketches import (
     approx_distinct_users,
     approx_users_per_type,
+    heavy_hitter_users,
+    heavy_hitter_users_sql,
 )
 from datacat_ray.pipelines.similarity import (
     LABEL_CENTROIDS_SQL,
@@ -248,6 +250,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_region_nation": revenue_by_region_nation,
         "approx_distinct_users": approx_distinct_users,
         "approx_users_per_type": approx_users_per_type,
+        "heavy_hitter_users": heavy_hitter_users,
         "docs_by_lang": docs_by_lang,
         "doc_length_ranks": doc_length_ranks,
         "error_window_counts": error_window_counts,
@@ -445,6 +448,7 @@ def build_oracle_sql() -> dict[str, str]:
         "unigram_logprob": UNIGRAM_LOGPROB_SQL,
         "doc_length_ranks": DOC_LENGTH_RANKS_SQL,
         "error_window_counts": ERROR_WINDOW_COUNTS_SQL,
+        "heavy_hitter_users": heavy_hitter_users_sql(),
         "customers_without_urgent_orders": CUSTOMERS_WITHOUT_URGENT_SQL,
         "revenue_rollup": REVENUE_ROLLUP_SQL,
         "source_cap_sample": source_cap_sample_sql(),

@@ -172,3 +172,115 @@ def approx_users_per_type(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min-guided exact heavy hitters
+# ---------------------------------------------------------------------------
+
+CMS_D = 4  # hash rows
+CMS_W = 8192  # counters per row
+HEAVY_MIN_EVENTS = 75
+# fixed odd multipliers / offsets (splitmix-derived constants) — the d
+# independent universal hashes h_i(x) = ((a_i*x + b_i) * mix) >> s mod w
+_CMS_A = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+     0x27D4EB2F165667C5], dtype=np.uint64,
+)
+_CMS_B = np.array(
+    [0xD6E8FEB86659FD93, 0xA5A5A5A5A5A5A5A5, 0x123456789ABCDEF1,
+     0xFEDCBA9876543211], dtype=np.uint64,
+)
+
+
+def _cms_buckets(keys: np.ndarray) -> np.ndarray:
+    """(d, n) bucket indices for int64 keys — fully vectorized."""
+    x = keys.astype(np.uint64)
+    out = np.empty((CMS_D, len(x)), dtype=np.int64)
+    for i in range(CMS_D):
+        h = (x * _CMS_A[i] + _CMS_B[i])
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+        out[i] = (h % np.uint64(CMS_W)).astype(np.int64)
+    return out
+
+
+def cms_partial(keys: np.ndarray, weights: np.ndarray | None = None) -> np.ndarray:
+    """One batch → (d, w) int64 Count-Min partial. Mergeable by +."""
+    sk = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    if len(keys):
+        b = _cms_buckets(keys)
+        w = weights if weights is not None else np.ones(len(keys), np.int64)
+        for i in range(CMS_D):
+            np.add.at(sk[i], b[i], w)
+    return sk
+
+
+def cms_estimate(sk: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Point estimates (min over rows) — NEVER underestimates the true
+    count, so threshold pruning keeps every true heavy hitter."""
+    if not len(keys):
+        return np.zeros(0, dtype=np.int64)
+    b = _cms_buckets(keys)
+    ests = np.stack([sk[i][b[i]] for i in range(CMS_D)])
+    return ests.min(axis=0)
+
+
+def heavy_hitter_users(
+    sf_dir: str, min_events: int = HEAVY_MIN_EVENTS
+) -> "ray.data.Dataset":
+    """Exact heavy hitters (users with ≥ ``min_events`` events), sketch-
+    pruned: pass 1 folds per-batch Count-Min partials (256 KB each, merged
+    by + — a tree reduce at cluster scale, never a key shuffle); pass 2
+    broadcasts the merged sketch, keeps only keys whose corpus-wide
+    ESTIMATE clears the threshold (deterministic under any batching — the
+    estimate comes from the full-corpus sketch, and CMS never
+    underestimates, so no true heavy key is pruned), and runs the exact
+    count groupby over that tiny survivor set. The full-vocabulary shuffle
+    of a naive HAVING-count query never happens; the exchange is
+    |survivors| partial rows. False positives from sketch collisions are
+    removed by the exact final filter, so output == SQL HAVING exactly."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    from datacat_ray.stages.bucketed import cached_ref
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        keys = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_pydict(
+            {"sk": pa.array([cms_partial(keys).tobytes()], pa.binary())}
+        )
+
+    merged = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    for row in ds.map_batches(_partial, batch_format="pyarrow").take_all():
+        merged += np.frombuffer(row["sk"], dtype=np.int64).reshape(CMS_D, CMS_W)
+    ref = _ray.put(merged)
+
+    def _survivors(t: pa.Table) -> pa.Table:
+        sk = cached_ref(ref)
+        p = t.group_by(["user_id"]).aggregate([([], "count_all")])
+        keys = p["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = cms_estimate(sk, keys) >= min_events
+        return p.filter(pa.array(keep))
+
+    out = (
+        ds.map_batches(_survivors, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("count_all", alias_name="n"))
+    )
+    def _exact_filter(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater_equal(t["n"], pa.scalar(min_events)))
+
+    return out.map_batches(_exact_filter, batch_format="pyarrow")
+
+
+def heavy_hitter_users_sql(min_events: int = HEAVY_MIN_EVENTS) -> str:
+    return f"""
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id HAVING COUNT(*) >= {min_events}
+    """
