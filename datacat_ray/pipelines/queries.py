@@ -108,6 +108,8 @@ from datacat_ray.pipelines.text_analysis import (
     corpus_gate,
     deterministic_shuffle,
     deterministic_shuffle_sql,
+    token_budget_head,
+    token_budget_head_sql,
     dup_ngram_fraction,
     dup_ngram_fraction_sql,
     term_postings,
@@ -288,6 +290,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "corpus_filter": corpus_filter,
         "corpus_gate": corpus_gate,
         "deterministic_shuffle": deterministic_shuffle,
+        "token_budget_head": token_budget_head,
         "redact_pii": redact_pii,
         "lang_id": lang_id,
         "quality_score": quality_score,
@@ -423,6 +426,7 @@ def build_oracle_sql() -> dict[str, str]:
         "corpus_filter": CORPUS_FILTER_SQL,
         "corpus_gate": CORPUS_GATE_SQL,
         "deterministic_shuffle": deterministic_shuffle_sql(),
+        "token_budget_head": token_budget_head_sql(),
         "redact_pii": REDACT_PII_SQL,
         "lang_id": lang_id_sql(),
         "fingerprint": fingerprint_sql(),

@@ -1642,3 +1642,134 @@ def deterministic_shuffle_sql(seed: str = "epoch0") -> str:
                    AS shuffle_rank
         FROM documents
     """
+
+
+# ---------------------------------------------------------------------------
+# token-budget corpus head (training-mix assembly)
+# ---------------------------------------------------------------------------
+
+TOKEN_BUDGET = 15_000
+
+
+def token_budget_head(
+    sf_dir: str, budget: int = TOKEN_BUDGET, seed: str = "epoch0"
+) -> "ray.data.Dataset":
+    """(doc_id, n_tokens, cum_tokens): the PREFIX of the deterministic
+    shuffle order (md5 rank, same permutation as ``deterministic_shuffle``)
+    whose running token total stays ≤ ``budget`` — how a training mix is
+    cut to a token budget reproducibly (the cut is a pure function of the
+    data, stable across cluster shapes and resumes).
+
+    Shape: a global running sum with NO global sort — md5's first byte
+    range-partitions the order into 256 uniform buckets; pass 1 exchanges
+    256 (bucket, token-sum) partial rows and prefix-sums the per-bucket
+    TOKEN offsets on the driver; pass 2 is one bucket shuffle + in-bucket
+    sort + local cumsum + offset. Buckets whose offset already exceeds the
+    budget drop their rows in the kernel (at 10^12 docs, a pushdown filter
+    on the hash byte would skip those buckets at the read)."""
+    import hashlib
+
+    import ray as _ray
+
+    from ray.data.aggregate import Sum
+
+    from datacat_ray.stages.bucketed import cached_ref
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def _tag(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        hs = [hashlib.md5(f"{seed}:{d}".encode()).hexdigest() for d in ids]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(
+                    [len(ascii_tokens(x)) for x in t["text"].to_pylist()],
+                    pa.int64(),
+                ),
+                "h": pa.array(hs, pa.string()),
+                "__bucket": pa.array(
+                    np.array([int(h[:2], 16) for h in hs], dtype=np.int32)
+                ),
+            }
+        )
+
+    tagged = ds.map_batches(_tag, batch_format="pyarrow")
+
+    def _bucket_sums(t: pa.Table) -> pa.Table:
+        b = t["__bucket"].to_numpy(zero_copy_only=False)
+        n = t["n_tokens"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "b": pa.array(np.arange(256, dtype=np.int32)),
+                "tok": pa.array(
+                    np.bincount(b, weights=n, minlength=256).astype(np.int64)
+                ),
+            }
+        )
+
+    counts = (
+        tagged.map_batches(_bucket_sums, batch_format="pyarrow")
+        .groupby("b")
+        .aggregate(Sum("tok", alias_name="tok"))
+        .take_all()
+    )
+    per_b = {r["b"]: r["tok"] for r in counts}
+    offsets = np.zeros(256, dtype=np.int64)
+    acc = 0
+    for b in range(256):
+        offsets[b] = acc
+        acc += per_b.get(b, 0)
+    off_ref = _ray.put(offsets)
+
+    def _head_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        off = cached_ref(off_ref)
+        b = int(t["__bucket"][0].as_py())
+        empty = pa.Table.from_pydict(
+            {"doc_id": pa.array([], pa.int64()),
+             "n_tokens": pa.array([], pa.int64()),
+             "cum_tokens": pa.array([], pa.int64())}
+        )
+        if off[b] >= budget:
+            return empty  # the whole bucket is past the cut
+        order = _pc.sort_indices(
+            t, sort_keys=[("h", "ascending"), ("doc_id", "ascending")]
+        )
+        t = t.take(order)
+        n = t["n_tokens"].to_numpy(zero_copy_only=False)
+        cum = off[b] + np.cumsum(n)
+        keep = cum <= budget
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"].filter(pa.array(keep)),
+                "n_tokens": pa.array(n[keep], pa.int64()),
+                "cum_tokens": pa.array(cum[keep], pa.int64()),
+            }
+        )
+
+    return (
+        tagged.groupby("__bucket")
+        .map_groups(_head_bucket, batch_format="pyarrow")
+    )
+
+
+def token_budget_head_sql(
+    budget: int = TOKEN_BUDGET, seed: str = "epoch0"
+) -> str:
+    return rf"""
+        WITH c AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(
+                       regexp_split_to_array(coalesce(text, ''),
+                                             '[ \t\n\r\f]+'),
+                       x -> x <> '')) AS BIGINT) AS n_tokens,
+                   md5('{seed}' || ':' || CAST(doc_id AS VARCHAR)) AS h
+            FROM documents
+        )
+        SELECT doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (ORDER BY h, doc_id) AS BIGINT)
+                   AS cum_tokens
+        FROM c QUALIFY cum_tokens <= {budget}
+    """
