@@ -58,10 +58,12 @@ from datacat_ray.pipelines.relational import (
     CUSTOMERS_WITHOUT_URGENT_SQL,
     ERROR_WINDOW_COUNTS_SQL,
     REVENUE_ROLLUP_SQL,
+    USER_VALUE_MEDIAN_SQL,
     asof_purchase_attribution,
     customers_without_urgent_orders,
     error_window_counts,
     revenue_rollup,
+    user_value_median,
     distinct_event_types,
     doc_length_ranks,
     revenue_by_region_nation,
@@ -258,6 +260,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "error_window_counts": error_window_counts,
         "customers_without_urgent_orders": customers_without_urgent_orders,
         "revenue_rollup": revenue_rollup,
+        "user_value_median": user_value_median,
         "rolling_user_revenue": rolling_user_revenue,
         "value_percentiles": value_percentiles,
         "order_lineitem_join": order_lineitem_join,
@@ -455,6 +458,7 @@ def build_oracle_sql() -> dict[str, str]:
         "heavy_hitter_users": heavy_hitter_users_sql(),
         "customers_without_urgent_orders": CUSTOMERS_WITHOUT_URGENT_SQL,
         "revenue_rollup": REVENUE_ROLLUP_SQL,
+        "user_value_median": USER_VALUE_MEDIAN_SQL,
         "source_cap_sample": source_cap_sample_sql(),
         "pack_sequences": pack_sequences_sql(),
         # no oracle (non-SQL-expressible; driver records rows-only):

@@ -1043,3 +1043,73 @@ REVENUE_ROLLUP_SQL = """
            CAST(SUM(n_items) AS BIGINT) AS n_items
     FROM fin GROUP BY ROLLUP (r_name, n_name)
 """
+
+
+def user_value_median(sf_dir: str) -> "ray.data.Dataset":
+    """(user_id, p50_micros, n): exact per-user median event value — the
+    per-group quantile at UNBOUNDED key cardinality (``value_percentiles``
+    may map_groups because its key space is a closed 5-value vocabulary;
+    a per-user grouping cannot). One hash shuffle on the user bucket, then
+    a whole-bucket vectorized kernel: ONE lexsort by (user, value), run
+    bounds via ``sorted_key_bounds``, and the linear-interpolation quantile
+    evaluated for EVERY user at once from per-run positions — no per-key
+    Python call. Nulls are dropped before ranking (quantile_cont
+    semantics)."""
+    import numpy as np
+
+    from datacat_ray.stages.bucketed import add_bucket, sorted_key_bounds
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def _median_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.Table.from_pydict(
+            {"user_id": pa.array([], pa.int64()),
+             "p50_micros": pa.array([], pa.int64()),
+             "n": pa.array([], pa.int64())}
+        )
+        g = g.filter(pc.is_valid(g["value"]))
+        if g.num_rows == 0:
+            return empty
+        uid = g["user_id"].combine_chunks().to_numpy()
+        val = g["value"].combine_chunks().to_numpy()
+        order = np.lexsort((val, uid))
+        uid, val = uid[order], val[order]
+        starts = sorted_key_bounds(uid)
+        ends = np.append(starts[1:], len(uid))
+        n = ends - starts
+        # linear interpolation at q=0.5: position p = (n-1)/2 within the
+        # sorted run → (1-frac)*v[floor] + frac*v[floor+1]
+        pos = (n - 1) / 2.0
+        lo = starts + np.floor(pos).astype(np.int64)
+        hi = np.minimum(lo + 1, ends - 1)
+        frac = pos - np.floor(pos)
+        med = (1.0 - frac) * val[lo] + frac * val[hi]
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "p50_micros": pa.array(
+                    np.floor(med * 1e6 + 0.5).astype(np.int64), pa.int64()),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(lambda t: add_bucket(t, "user_id"),
+                       batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: _median_bucket(g.drop_columns(["__bucket"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+USER_VALUE_MEDIAN_SQL = """
+    SELECT user_id,
+           CAST(FLOOR(quantile_cont(value, 0.5) * 1000000 + 0.5) AS BIGINT)
+               AS p50_micros,
+           CAST(COUNT(value) AS BIGINT) AS n
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY user_id
+"""
