@@ -919,17 +919,28 @@ def paragraph_dedup(sf_dir: str, w: int = PARA_W) -> "ray.data.Dataset":
     )
 
     def _explode(t: pa.Table) -> pa.Table:
-        hs: list[int] = []
+        import polars as pl
+
+        segs: list[str] = []
         keys: list[int] = []
         for doc_id, text in zip(
             t["doc_id"].to_pylist(), t["text"].to_pylist()
         ):
-            for i, seg in enumerate(_doc_segments(text or "", w)):
-                hs.append(fnv1a64(seg.encode("utf-8")) - (1 << 63))
-                keys.append(doc_id * _SEG_STRIDE + i)
+            d = _doc_segments(text or "", w)
+            segs.extend(d)
+            base = doc_id * _SEG_STRIDE
+            keys.extend(range(base, base + len(d)))
+        # ONE vectorized 64-bit hash over the whole batch's segments (a
+        # per-segment Python FNV byte-loop here was the stage's hot path);
+        # the hash only buckets equal segments together — the oracle's
+        # semantics group by segment TEXT, so any deterministic hash works
+        h = (
+            pl.Series(segs).hash(seed=20260817).to_numpy().view(np.int64)
+            if segs else np.empty(0, np.int64)
+        )
         return add_bucket(
             pa.Table.from_pydict(
-                {"h": pa.array(hs, type=pa.int64()),
+                {"h": pa.array(h, type=pa.int64()),
                  "key": pa.array(keys, type=pa.int64())}
             ),
             "h",
