@@ -29,7 +29,6 @@ import ray
 import ray.data
 from ray.data.aggregate import Min
 
-from datacat_ray.pipelines.text_analysis import fnv1a64
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -37,10 +36,16 @@ from datacat_ray.pipelines.text_analysis import fnv1a64
 
 
 def _content_hash_batch(batch: pa.Table) -> pa.Table:
-    hashes = [fnv1a64((t or "").encode("utf-8")) - (1 << 63) for t in
-              batch["text"].to_pylist()]
+    # vectorized 64-bit content hash (one polars call per batch — a Python
+    # per-byte FNV loop here cost ~600 iterations/doc). The hash never
+    # leaves the pipeline: every consumer groups equal texts by it, so any
+    # deterministic 64-bit hash preserves the semantics.
+    import polars as pl
+
+    col = pc.fill_null(batch["text"].combine_chunks(), "")
+    h = pl.from_arrow(col).hash(seed=20260817).to_numpy().view(np.int64)
     return pa.Table.from_pydict(
-        {"doc_id": batch["doc_id"], "text_hash": pa.array(hashes, type=pa.int64())}
+        {"doc_id": batch["doc_id"], "text_hash": pa.array(h, type=pa.int64())}
     )
 
 
@@ -174,14 +179,30 @@ def minhash_signature(shingles: np.ndarray) -> np.ndarray:
     return vals.min(axis=1)
 
 
-def band_keys(sig: np.ndarray) -> list[int]:
-    """One signed-int64 bucket key per band: FNV over (band_id, 8 rows)."""
-    keys = []
+_BAND_PRIME = np.uint64(1099511628211)  # FNV prime as the lane-fold base
+_FNV_OFF64 = np.uint64(14695981039346656037)
+
+
+def band_keys_matrix(sigs: np.ndarray) -> np.ndarray:
+    """(n_docs, N_BANDS) signed-int64 bucket keys — an FNV-style fold over
+    each band's 8 uint64 lanes, vectorized across the whole batch (the
+    per-doc/per-band Python byte loop it replaces was 16 small hashes per
+    doc). Key values are internal: bands bucket by EQUALITY of the 8-row
+    chunk, which any injective-enough mix preserves."""
+    n = sigs.shape[0]
+    out = np.empty((n, N_BANDS), dtype=np.uint64)
     for b in range(N_BANDS):
-        chunk = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
-        h = fnv1a64(bytes([b]) + chunk.astype("<u8").tobytes())
-        keys.append(h - (1 << 63))
-    return keys
+        h = np.full(n, _FNV_OFF64 ^ np.uint64(b), dtype=np.uint64)
+        chunk = sigs[:, b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
+        for j in range(ROWS_PER_BAND):
+            h = (h ^ chunk[:, j]) * _BAND_PRIME
+        out[:, b] = h
+    return out.view(np.int64)
+
+
+def band_keys(sig: np.ndarray) -> list[int]:
+    """One signed-int64 bucket key per band (single-doc convenience)."""
+    return band_keys_matrix(sig.reshape(1, -1))[0].tolist()
 
 
 def _sig_rows(batch: pa.Table) -> pa.Table:
@@ -209,19 +230,22 @@ def _band_rows(batch: pa.Table) -> pa.Table:
     The 1 KB signature deliberately does NOT ride along: shipping it with
     every band row multiplied shuffle volume ×16 (16 KB/doc); the verify
     phase joins the sig table once per pair side instead."""
-    out_bucket: list[int] = []
-    out_doc: list[int] = []
-    for doc_id, blob in zip(
-        batch["doc_id"].to_pylist(), batch["sig"].to_pylist()
-    ):
-        sig = np.frombuffer(blob, dtype="<u8")
-        for key in band_keys(sig):
-            out_bucket.append(key)
-            out_doc.append(doc_id)
+    blobs = batch["sig"].to_pylist()
+    if not blobs:
+        return pa.Table.from_pydict(
+            {"bucket": pa.array([], pa.int64()),
+             "doc_id": pa.array([], pa.int64())}
+        )
+    sigs = np.frombuffer(b"".join(blobs), dtype="<u8").reshape(
+        len(blobs), N_PERM
+    )
+    keys = band_keys_matrix(sigs)  # (n_docs, N_BANDS), one vector pass
+    doc_ids = batch["doc_id"].combine_chunks().to_numpy()
     return pa.Table.from_pydict(
         {
-            "bucket": pa.array(out_bucket, type=pa.int64()),
-            "doc_id": pa.array(out_doc, type=pa.int64()),
+            "bucket": pa.array(keys.ravel(), type=pa.int64()),
+            "doc_id": pa.array(
+                np.repeat(doc_ids, N_BANDS), type=pa.int64()),
         }
     )
 
@@ -473,20 +497,28 @@ _BIT_SHIFTS = np.arange(64, dtype=np.uint64)
 _BIT_WEIGHTS = (np.uint64(1) << _BIT_SHIFTS).astype(np.uint64)
 
 
-def simhash64(text: str) -> int:
-    """64-bit SimHash over token 3-grams (unsigned value in int64 carrier).
-
-    Vectorized: one uint64 array of gram hashes, one (n_grams × 64) bit
-    unpack, one vote sum — no per-bit Python loop."""
+def _gram_list(text: str) -> list[str]:
     words = (text or "").lower().split()
-    grams = (
-        [" ".join(words[i : i + 3]) for i in range(len(words) - 2)]
-        if len(words) >= 3
-        else [" ".join(words)] if words else [""]
-    )
-    hs = np.fromiter(
-        (fnv1a64(g.encode("utf-8")) for g in grams), dtype=np.uint64, count=len(grams)
-    )
+    if len(words) >= 3:
+        return [" ".join(words[i : i + 3]) for i in range(len(words) - 2)]
+    return [" ".join(words)] if words else [""]
+
+
+def _gram_hashes(grams: list[str]) -> np.ndarray:
+    """Vectorized uint64 gram hashes (ONE polars call — the per-gram
+    Python FNV byte-loop it replaces dominated signature time). Hash
+    values feed the bit votes; SimHash's locality property holds for any
+    uniform 64-bit hash."""
+    import polars as pl
+
+    return pl.Series(grams).hash(seed=20260817).to_numpy().astype(np.uint64)
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over token 3-grams (unsigned value in int64
+    carrier) — single-doc reference; `_simhash_batch` computes the same
+    values batch-at-a-time."""
+    hs = _gram_hashes(_gram_list(text))
     bits = ((hs[:, None] >> _BIT_SHIFTS) & np.uint64(1)).astype(np.int64)
     votes = (2 * bits - 1).sum(axis=0)
     h = int(((votes > 0) * _BIT_WEIGHTS).sum(dtype=np.uint64))
@@ -494,9 +526,30 @@ def simhash64(text: str) -> int:
 
 
 def _simhash_batch(batch: pa.Table) -> pa.Table:
-    hs = [simhash64(t) for t in batch["text"].to_pylist()]
+    texts = batch["text"].to_pylist()
+    if not texts:
+        return pa.Table.from_pydict(
+            {"doc_id": batch["doc_id"],
+             "simhash": pa.array([], pa.int64())}
+        )
+    grams_all: list[str] = []
+    counts: list[int] = []
+    for t in texts:
+        g = _gram_list(t)
+        grams_all.extend(g)
+        counts.append(len(g))
+    hs = _gram_hashes(grams_all)
+    # one (G × 64) bit unpack + segmented vote sum for the whole batch
+    signs = (
+        2 * ((hs[:, None] >> _BIT_SHIFTS) & np.uint64(1)).astype(np.int64)
+        - 1
+    )
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    votes = np.add.reduceat(signs, starts, axis=0)
+    vals = ((votes > 0) * _BIT_WEIGHTS).sum(axis=1, dtype=np.uint64)
+    out = (vals ^ np.uint64(1 << 63)).view(np.int64)  # == v - 2^63
     return pa.Table.from_pydict(
-        {"doc_id": batch["doc_id"], "simhash": pa.array(hs, type=pa.int64())}
+        {"doc_id": batch["doc_id"], "simhash": pa.array(out, pa.int64())}
     )
 
 
