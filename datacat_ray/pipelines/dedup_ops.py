@@ -933,7 +933,12 @@ def _doc_segments(text: str, w: int = PARA_W) -> list[str]:
     return [" ".join(words[i : i + w]) for i in range(0, len(words), w)]
 
 
-def paragraph_dedup(sf_dir: str, w: int = PARA_W) -> "ray.data.Dataset":
+def paragraph_dedup(
+    sf_dir: str,
+    w: int = PARA_W,
+    mode: str = "join",
+    drop_dir: str | None = None,
+) -> "ray.data.Dataset":
     """Dolma-style paragraph dedup: every segment keeps only its FIRST
     corpus-wide occurrence (order = (doc_id, seg_id)); later occurrences
     are cut out of their documents. Returns (doc_id, dedup_text, n_segs,
@@ -953,12 +958,14 @@ def paragraph_dedup(sf_dir: str, w: int = PARA_W) -> "ray.data.Dataset":
          id-blob — second narrow shuffle, keyed by doc bucket — and join
          back to documents (``Dataset.join``; the doc side of that join is
          the pipeline's one wide exchange, same volume class as D1's
-         dedup shuffle). Rebuild is a document-local re-split. The 100 TB
-         variant swaps the join for the flagship's winner-parquet
-         prefilter (stages/dedup.py:compute_winners_parquet): decision
-         blobs land in bucket-partitioned parquet and a doc-local filter
-         stage loads its buckets via a per-worker LRU — text never
-         shuffles at all.
+         dedup shuffle). Rebuild is a document-local re-split.
+    ``mode="prefilter"`` is the 100 TB variant (same design as the
+    flagship's winner-parquet dedup, stages/dedup.py): step 3's decision
+    rows land in doc-bucket-partitioned parquet under ``drop_dir`` and the
+    rebuild is a MAP-ONLY pass over documents that loads its buckets'
+    drop sets through a per-worker LRU — the text column never crosses
+    any exchange. Pinned row-for-row equal to the join path in
+    tests/test_paragraph_dedup.py.
     Dolma itself uses a bloom filter for step 2's membership test; the
     exact min-key exchange here is deterministic (oracle-able) and its
     shuffle volume is bounded by segment count, not text bytes. 64-bit
@@ -1028,6 +1035,9 @@ def paragraph_dedup(sf_dir: str, w: int = PARA_W) -> "ray.data.Dataset":
             batch_format="pyarrow",
         )
     )
+
+    if mode == "prefilter":
+        return _paragraph_prefilter(sf_dir, w, dropped, drop_dir)
 
     def _doc_lists(g: pa.Table) -> pa.Table:
         order = pc.sort_indices(
@@ -1164,3 +1174,118 @@ PARAGRAPH_DEDUP_SQL = f"""
            CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
     FROM kept GROUP BY doc_id
 """
+
+
+_DROP_BUCKETS = 64
+_DROP_CACHE: dict = {}
+_DROP_CACHE_MAX = 16
+
+
+def _drop_bucket_sets(drop_dir: str, b: int) -> dict[int, set[int]]:
+    """Per-worker LRU over one decision bucket file: {doc_id: dropped
+    seg_ids}. Bounded memory at any corpus size — a worker holds at most
+    ``_DROP_CACHE_MAX`` × (dropped-segments / buckets) entries; input
+    layouts where doc_ids cluster (hash-partitioned output of an upstream
+    stage) touch few buckets per batch."""
+    import os
+    from collections import OrderedDict
+
+    global _DROP_CACHE
+    if not isinstance(_DROP_CACHE, OrderedDict):
+        _DROP_CACHE = OrderedDict(_DROP_CACHE)
+    key = (drop_dir, b)
+    d = _DROP_CACHE.get(key)
+    if d is not None:
+        _DROP_CACHE.move_to_end(key)
+        return d
+    import pyarrow.parquet as pq
+
+    from datacat_ray.stages.bucketed import sorted_key_bounds
+
+    f = os.path.join(drop_dir, f"bucket-{b:05d}.parquet")
+    d = {}
+    if os.path.exists(f):  # a bucket with zero drops is never written
+        t = pq.read_table(f)
+        dids = t["doc_id"].to_numpy()
+        sids = t["seg_id"].to_numpy()
+        starts = sorted_key_bounds(dids)  # file is written doc-sorted
+        ends = np.append(starts[1:], len(dids))
+        for a, e in zip(starts, ends):
+            d[int(dids[a])] = set(sids[a:e].tolist())
+    _DROP_CACHE[key] = d
+    while len(_DROP_CACHE) > _DROP_CACHE_MAX:
+        _DROP_CACHE.popitem(last=False)
+    return d
+
+
+def _paragraph_prefilter(
+    sf_dir: str, w: int, dropped: "ray.data.Dataset", drop_dir: str | None
+) -> "ray.data.Dataset":
+    """The 100 TB rebuild path: decision rows → doc-bucket-partitioned
+    parquet (atomic rename per bucket), then a MAP-ONLY rebuild over the
+    documents table reading drop sets through ``_drop_bucket_sets`` — the
+    text column never crosses an exchange. ``drop_dir`` must be shared
+    storage on a multi-node cluster and fresh per run (same contract as
+    compute_winners_parquet's out_dir)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from datacat_ray.stages.bucketed import add_bucket, int_bucket_codes
+
+    if not drop_dir:
+        raise ValueError("mode='prefilter' requires drop_dir")
+    os.makedirs(drop_dir, exist_ok=True)
+
+    def _write_bucket(g: pa.Table) -> pa.Table:
+        b = int(g["__bucket"][0].as_py())
+        t = g.drop_columns(["__bucket"]).sort_by(
+            [("doc_id", "ascending"), ("seg_id", "ascending")]
+        )
+        tmp = os.path.join(drop_dir, f".tmp.bucket-{b:05d}.parquet")
+        pq.write_table(t, tmp)
+        os.replace(tmp, os.path.join(drop_dir, f"bucket-{b:05d}.parquet"))
+        return pa.Table.from_pydict(
+            {"bucket": pa.array([b], pa.int32()),
+             "n": pa.array([t.num_rows], pa.int64())}
+        )
+
+    # materialize the decision build before the rebuild pass reads it
+    (
+        dropped.map_batches(
+            lambda t: add_bucket(t, "doc_id", _DROP_BUCKETS),
+            batch_format="pyarrow",
+        )
+        .groupby("__bucket")
+        .map_groups(_write_bucket, batch_format="pyarrow")
+    ).count()
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def _rebuild_local(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        bcodes = int_bucket_codes(ids, _DROP_BUCKETS)
+        out_text: list[str | None] = []
+        n_segs: list[int] = []
+        n_drop: list[int] = []
+        for doc_id, bc, text in zip(
+            ids.tolist(), bcodes.tolist(), t["text"].to_pylist()
+        ):
+            segs = _doc_segments(text or "", w)
+            dset = _drop_bucket_sets(drop_dir, bc).get(doc_id, frozenset())
+            kept = [s for i, s in enumerate(segs) if i not in dset]
+            out_text.append(" ".join(kept) if kept else None)
+            n_segs.append(len(segs))
+            n_drop.append(len(dset))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "dedup_text": pa.array(out_text, type=pa.string()),
+                "n_segs": pa.array(n_segs, type=pa.int64()),
+                "n_dropped": pa.array(n_drop, type=pa.int64()),
+            }
+        )
+
+    return docs.map_batches(_rebuild_local, batch_format="pyarrow")

@@ -50,6 +50,15 @@ def cached_ref(ref, max_entries: int = 4):
     return v
 
 
+def int_bucket_codes(keys: np.ndarray, n_buckets: int) -> np.ndarray:
+    """The integer-key bucket function of ``add_bucket``, exposed so
+    write-side partitioners and read-side lookups (e.g. the paragraph-dedup
+    prefilter) can never diverge on the mapping."""
+    k = keys.astype(np.uint64)
+    h = (k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+    return (h % np.uint64(n_buckets)).astype(np.int32)
+
+
 def add_bucket(
     t: pa.Table, key: str, n_buckets: int = DEFAULT_BUCKETS
 ) -> pa.Table:
@@ -66,9 +75,8 @@ def add_bucket(
     if pa.types.is_integer(col.type):
         # view-cast via numpy: negative int64 keys (e.g. signed content
         # hashes) must wrap, not overflow-error as pc.cast would
-        k = col.combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = (k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
-        b = (h % np.uint64(n_buckets)).astype(np.int32)
+        k = col.combine_chunks().to_numpy(zero_copy_only=False)
+        b = int_bucket_codes(k, n_buckets)
     else:
         import polars as pl
 

@@ -65,3 +65,26 @@ def test_paragraph_dedup_unique_corpus_identity(ray_session, tmp_path):
     for i, text in enumerate(texts):
         assert rows[i]["dedup_text"] == text
         assert rows[i]["n_dropped"] == 0
+
+
+def test_prefilter_mode_equals_join(ray_session, tmp_path):
+    base = _words(2 * PARA_W)
+    texts = [
+        base,
+        _doc_segments(base)[0] + " " + _words(PARA_W, 100),
+        base,
+        _words(PARA_W * 3, 500),
+    ]
+    sf = _write_docs(tmp_path, texts)
+    drop_dir = str(tmp_path / "drops")
+    join_rows = {r["doc_id"]: r for r in paragraph_dedup(sf).take_all()}
+    pre_rows = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(
+            sf, mode="prefilter", drop_dir=drop_dir
+        ).take_all()
+    }
+    assert pre_rows == join_rows
+    import os
+
+    assert any(f.startswith("bucket-") for f in os.listdir(drop_dir))
