@@ -56,11 +56,13 @@ from datacat_ray.pipelines.relational import (
     VALUE_PERCENTILES_SQL,
     DOC_LENGTH_RANKS_SQL,
     CUSTOMERS_WITHOUT_URGENT_SQL,
+    ERROR_PURCHASE_DAYS_SQL,
     ERROR_WINDOW_COUNTS_SQL,
     REVENUE_ROLLUP_SQL,
     USER_VALUE_MEDIAN_SQL,
     asof_purchase_attribution,
     customers_without_urgent_orders,
+    error_purchase_days,
     error_window_counts,
     revenue_rollup,
     user_value_median,
@@ -261,6 +263,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_urgent_orders": customers_without_urgent_orders,
         "revenue_rollup": revenue_rollup,
         "user_value_median": user_value_median,
+        "error_purchase_days": error_purchase_days,
         "rolling_user_revenue": rolling_user_revenue,
         "value_percentiles": value_percentiles,
         "order_lineitem_join": order_lineitem_join,
@@ -459,6 +462,7 @@ def build_oracle_sql() -> dict[str, str]:
         "customers_without_urgent_orders": CUSTOMERS_WITHOUT_URGENT_SQL,
         "revenue_rollup": REVENUE_ROLLUP_SQL,
         "user_value_median": USER_VALUE_MEDIAN_SQL,
+        "error_purchase_days": ERROR_PURCHASE_DAYS_SQL,
         "source_cap_sample": source_cap_sample_sql(),
         "pack_sequences": pack_sequences_sql(),
         # no oracle (non-SQL-expressible; driver records rows-only):

@@ -1113,3 +1113,90 @@ USER_VALUE_MEDIAN_SQL = """
     WHERE value IS NOT NULL
     GROUP BY user_id
 """
+
+
+def error_purchase_days(sf_dir: str) -> "ray.data.Dataset":
+    """Distributed set INTERSECTION: the distinct (user_id, day) pairs on
+    which a user produced BOTH an 'error' and a 'purchase' event.
+
+    Shape: one events scan; the map side reduces each batch to distinct
+    (user, day, side-bit) triples (combiner — exchange volume is bounded
+    by distinct triples, not event rows); one hash shuffle on the user
+    bucket; the per-bucket kernel ORs the side bits per composite
+    (user, day) key with ``np.bitwise_or.reduceat`` and keeps keys whose
+    mask is 3. The same union+bucket co-location as the anti-join
+    (``customers_without_urgent_orders``), flipped from NOT EXISTS to
+    EXISTS-in-both — together they cover the set-op family (SQL INTERSECT
+    / EXCEPT) without ever shuffling payload columns."""
+    import numpy as np
+
+    from datacat_ray.stages.bucketed import add_bucket, sorted_key_bounds
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    _DAY_SPAN = 1 << 20
+
+    def _sides(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            t["event_type"],
+            value_set=pa.array(["error", "purchase"]),
+        )
+        t = t.filter(keep)
+        day = pc.cast(
+            pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.date32()),
+            pa.int32(),
+        )
+        mark = pc.if_else(
+            pc.equal(t["event_type"], pa.scalar("error")),
+            pa.scalar(1, pa.int8()), pa.scalar(2, pa.int8()),
+        )
+        p = pa.Table.from_pydict(
+            {"user_id": t["user_id"], "day": day, "mark": mark}
+        ).group_by(["user_id", "day", "mark"]).aggregate([])
+        return add_bucket(p, "user_id")
+
+    def _intersect(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].combine_chunks().to_numpy()
+        day = g["day"].combine_chunks().to_numpy().astype(np.int64)
+        mark = g["mark"].combine_chunks().to_numpy()
+        if not len(uid):
+            return pa.Table.from_pydict(
+                {"user_id": pa.array([], pa.int64()),
+                 "day": pa.array([], pa.string())}
+            )
+        comp = uid.astype(np.int64) * _DAY_SPAN + day
+        order = np.argsort(comp, kind="stable")
+        comp, mark = comp[order], mark[order]
+        starts = sorted_key_bounds(comp)
+        both = np.bitwise_or.reduceat(mark, starts) == 3
+        keys = comp[starts][both]
+        out_day = [
+            (np.datetime64("1970-01-01")
+             + np.timedelta64(int(d % _DAY_SPAN), "D")).astype(str)
+            for d in keys
+        ]
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(keys // _DAY_SPAN, type=pa.int64()),
+                "day": pa.array(out_day, type=pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(_sides, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: _intersect(g.drop_columns(["__bucket"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+ERROR_PURCHASE_DAYS_SQL = """
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day FROM (
+        SELECT user_id, date_trunc('day', ts) AS day
+        FROM events WHERE event_type = 'error'
+        INTERSECT
+        SELECT user_id, date_trunc('day', ts) AS day
+        FROM events WHERE event_type = 'purchase'
+    )
+"""

@@ -57,3 +57,25 @@ def test_rollup_levels_consistent(ray_session):
         assert sum(f["n_items"] for f in nats) == s["n_items"]
     assert sum(s["revenue_cents"] for s in subs) == tot[0]["revenue_cents"]
     assert sum(s["n_items"] for s in subs) == tot[0]["n_items"]
+
+
+def test_intersect_small(ray_session, tmp_path):
+    from datacat_ray.pipelines.relational import error_purchase_days
+
+    # user 1: error+purchase same day; user 2: error only; user 3:
+    # purchase day 1, error day 2 (no overlap)
+    ts = ["2025-01-01 03:00:00", "2025-01-01 09:00:00",
+          "2025-01-01 04:00:00",
+          "2025-01-01 05:00:00", "2025-01-02 05:00:00"]
+    t = pa.table(
+        {"event_id": pa.array(range(5), pa.int64()),
+         "user_id": pa.array([1, 1, 2, 3, 3], pa.int64()),
+         "ts": pa.array([__import__("datetime").datetime.fromisoformat(x)
+                         for x in ts],
+                        pa.timestamp("us")),
+         "event_type": ["error", "purchase", "error", "purchase", "error"]}
+    )
+    _write(tmp_path, "events", t)
+    rows = [(r["user_id"], r["day"])
+            for r in error_purchase_days(str(tmp_path)).take_all()]
+    assert rows == [(1, "2025-01-01")]
