@@ -114,6 +114,8 @@ from datacat_ray.pipelines.text_analysis import (
     deterministic_shuffle_sql,
     token_budget_head,
     token_budget_head_sql,
+    corpus_prep,
+    CORPUS_PREP_SQL,
     dup_ngram_fraction,
     dup_ngram_fraction_sql,
     term_postings,
@@ -297,6 +299,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "corpus_gate": corpus_gate,
         "deterministic_shuffle": deterministic_shuffle,
         "token_budget_head": token_budget_head,
+        "corpus_prep": corpus_prep,
         "redact_pii": redact_pii,
         "lang_id": lang_id,
         "quality_score": quality_score,
@@ -433,6 +436,7 @@ def build_oracle_sql() -> dict[str, str]:
         "corpus_gate": CORPUS_GATE_SQL,
         "deterministic_shuffle": deterministic_shuffle_sql(),
         "token_budget_head": token_budget_head_sql(),
+        "corpus_prep": CORPUS_PREP_SQL,
         "redact_pii": REDACT_PII_SQL,
         "lang_id": lang_id_sql(),
         "fingerprint": fingerprint_sql(),

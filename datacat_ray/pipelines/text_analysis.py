@@ -1773,3 +1773,123 @@ def token_budget_head_sql(
                    AS cum_tokens
         FROM c QUALIFY cum_tokens <= {budget}
     """
+
+
+# ---------------------------------------------------------------------------
+# composed corpus-prep pipeline (gate -> exact dedup -> per-lang rollup)
+# ---------------------------------------------------------------------------
+
+
+def corpus_prep(sf_dir: str) -> "ray.data.Dataset":
+    """(lang, n_docs, n_tokens): the composed corpus-preparation chain a
+    crawl corpus actually runs — quality GATE (same rules/first-fail order
+    as ``corpus_gate``), then exact DEDUP among the survivors (min doc_id
+    per identical text), rolled up per language. One pipeline, stages
+    fused where document-local:
+
+      read → [gate filter + content hash + token count]   (one map stage)
+           → bucket shuffle on text_hash (16-byte rows)   (the one exchange)
+           → per-bucket survivor kernel → per-lang partial
+           → tiny groupby(lang) Sum.
+
+    The wide text column never crosses the exchange — only (hash, doc_id,
+    lang, n_tokens). Demonstrates that the operator library composes into
+    end-to-end corpus jobs without extra materialization."""
+    import polars as pl
+
+    from ray.data.aggregate import Sum
+
+    from datacat_ray.stages.bucketed import add_bucket, sorted_key_bounds
+
+    allowed = frozenset(GATE_LANGS)
+
+    def _gate_hash(t: pa.Table) -> pa.Table:
+        keeps = []
+        n_toks = []
+        for text, lang, n_chars in zip(
+            t["text"].to_pylist(), t["lang"].to_pylist(),
+            t["n_chars"].to_pylist(),
+        ):
+            words = ascii_tokens(text)
+            n = len(words)
+            ok = (
+                n >= GATE_MIN_WORDS
+                and n_chars <= GATE_MAX_CHARS
+                and (n - len(set(words))) * 100 <= GATE_DUP_WORD_PCT * n
+                and lang in allowed
+            )
+            keeps.append(ok)
+            n_toks.append(n)
+        t = t.append_column("n_tokens", pa.array(n_toks, pa.int64()))
+        t = t.filter(pa.array(keeps))
+        h = (
+            pl.from_arrow(
+                pc.fill_null(t["text"].combine_chunks(), "")
+            ).hash(seed=20260817).to_numpy().view(np.int64)
+            if t.num_rows else np.empty(0, np.int64)
+        )
+        out = pa.Table.from_pydict(
+            {
+                "text_hash": pa.array(h, pa.int64()),
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "n_tokens": t["n_tokens"],
+            }
+        )
+        return add_bucket(out, "text_hash")
+
+    def _survivor_partial(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[("text_hash", "ascending"), ("doc_id", "ascending")]
+        )
+        g = g.take(order)
+        h = g["text_hash"].combine_chunks().to_numpy()
+        if not len(h):
+            return pa.Table.from_pydict(
+                {"lang": pa.array([], pa.string()),
+                 "docs": pa.array([], pa.int64()),
+                 "toks": pa.array([], pa.int64())}
+            )
+        starts = sorted_key_bounds(h)  # first (min doc_id) row per text
+        surv = g.take(pa.array(starts))
+        return pa.Table.from_pydict(
+            {"lang": surv["lang"], "docs": pa.array(
+                np.ones(len(starts), dtype=np.int64)),
+             "toks": surv["n_tokens"]}
+        ).group_by(["lang"]).aggregate([("docs", "sum"), ("toks", "sum")]
+        ).rename_columns(["lang", "docs", "toks"])
+
+    ds = _read_documents(sf_dir, ["doc_id", "text", "lang", "n_chars"])
+    return (
+        ds.map_batches(_gate_hash, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: _survivor_partial(g.drop_columns(["__bucket"])),
+            batch_format="pyarrow",
+        )
+        .groupby("lang")
+        .aggregate(
+            Sum("docs", alias_name="n_docs"),
+            Sum("toks", alias_name="n_tokens"),
+        )
+    )
+
+
+CORPUS_PREP_SQL = rf"""
+    WITH gate AS ({CORPUS_GATE_SQL}),
+    kept AS (
+        SELECT d.doc_id, d.lang, d.text
+        FROM documents d JOIN gate USING (doc_id)
+        WHERE gate.keep
+    ),
+    surv AS (
+        SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY text
+    )
+    SELECT k.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(list_filter(
+               regexp_split_to_array(coalesce(k.text, ''), '[ \t\n\r\f]+'),
+               x -> x <> ''))) AS BIGINT) AS n_tokens
+    FROM kept k JOIN surv USING (doc_id)
+    GROUP BY k.lang
+"""
