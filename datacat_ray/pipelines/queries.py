@@ -86,6 +86,8 @@ from datacat_ray.pipelines.relational import (
 from datacat_ray.pipelines.sketches import (
     approx_distinct_users,
     approx_users_per_type,
+    APPROX_VALUE_PERCENTILES_SQL,
+    approx_value_percentiles,
     heavy_hitter_users,
     heavy_hitter_users_sql,
 )
@@ -259,6 +261,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": approx_distinct_users,
         "approx_users_per_type": approx_users_per_type,
         "heavy_hitter_users": heavy_hitter_users,
+        "approx_value_percentiles": approx_value_percentiles,
         "docs_by_lang": docs_by_lang,
         "doc_length_ranks": doc_length_ranks,
         "error_window_counts": error_window_counts,
@@ -463,6 +466,7 @@ def build_oracle_sql() -> dict[str, str]:
         "doc_length_ranks": DOC_LENGTH_RANKS_SQL,
         "error_window_counts": ERROR_WINDOW_COUNTS_SQL,
         "heavy_hitter_users": heavy_hitter_users_sql(),
+        "approx_value_percentiles": APPROX_VALUE_PERCENTILES_SQL,
         "customers_without_urgent_orders": CUSTOMERS_WITHOUT_URGENT_SQL,
         "revenue_rollup": REVENUE_ROLLUP_SQL,
         "user_value_median": USER_VALUE_MEDIAN_SQL,

@@ -284,3 +284,99 @@ def heavy_hitter_users_sql(min_events: int = HEAVY_MIN_EVENTS) -> str:
         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
         FROM events GROUP BY user_id HAVING COUNT(*) >= {min_events}
     """
+
+
+# ---------------------------------------------------------------------------
+# DDSketch-style mergeable quantiles (relative-error guarantee)
+# ---------------------------------------------------------------------------
+
+DD_GAMMA = 1.02  # ±2% relative-error bins
+_DD_BINS = 4096
+_DD_OFFSET = 2048
+_DD_LN_G = np.log(DD_GAMMA)
+
+
+def dd_partial(values: np.ndarray) -> np.ndarray:
+    """One batch of POSITIVE values → int64[_DD_BINS] log-bin histogram.
+    Mergeable by +, deterministic, fixed 32 KB regardless of batch size."""
+    v = values[np.isfinite(values) & (values > 0)]
+    if not len(v):
+        return np.zeros(_DD_BINS, dtype=np.int64)
+    idx = np.clip(
+        np.ceil(np.log(v) / _DD_LN_G).astype(np.int64) + _DD_OFFSET,
+        0, _DD_BINS - 1,
+    )
+    return np.bincount(idx, minlength=_DD_BINS).astype(np.int64)
+
+
+def dd_quantile(bins: np.ndarray, q: float) -> float:
+    """Quantile estimate: first bin whose cumulative count passes the
+    rank; returned as the bin's gamma-midpoint 2·γ^i/(γ+1) — within a
+    γ-factor of the true quantile by construction."""
+    n = int(bins.sum())
+    if n == 0:
+        return float("nan")
+    rank = max(1, int(np.ceil(q * n)))
+    i = int(np.searchsorted(np.cumsum(bins), rank))
+    exp = i - _DD_OFFSET
+    return float(2.0 * DD_GAMMA ** exp / (DD_GAMMA + 1.0))
+
+
+def approx_value_percentiles(sf_dir: str) -> pa.Table:
+    """Approximate p50/p95/p99 of events.value from a mergeable DDSketch-
+    style log-histogram: each batch contributes one 32 KB bin row, partials
+    add (tree reduce at cluster scale — the raw values never shuffle, and
+    unlike the exact-quantile operators nothing is ever sorted). The
+    relative-error bound (γ−1)·100 % rides along; the guarantee is pinned
+    against exact numpy quantiles in tests/test_sketches_dd.py."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.Table.from_pydict(
+            {"bins": pa.array([dd_partial(v).tobytes()], pa.binary())}
+        )
+
+    merged = np.zeros(_DD_BINS, dtype=np.int64)
+    for row in ds.map_batches(_partial, batch_format="pyarrow").take_all():
+        merged += np.frombuffer(row["bins"], dtype=np.int64)
+    return pa.Table.from_pydict(
+        {
+            "p50_approx": pa.array([round(dd_quantile(merged, 0.50), 6)]),
+            "p95_approx": pa.array([round(dd_quantile(merged, 0.95), 6)]),
+            "p99_approx": pa.array([round(dd_quantile(merged, 0.99), 6)]),
+            "rel_error_pct": pa.array([round((DD_GAMMA - 1) * 100, 2)]),
+            "n": pa.array([int(merged.sum())], pa.int64()),
+        }
+    )
+
+
+APPROX_VALUE_PERCENTILES_SQL = f"""
+    WITH b AS (
+        SELECT LEAST(GREATEST(
+            CAST(ceil(ln(value) / ln({DD_GAMMA})) AS BIGINT) + {_DD_OFFSET},
+            0), {_DD_BINS - 1}) AS bin
+        FROM events WHERE value > 0 AND isfinite(value)
+    ),
+    c AS (SELECT bin, COUNT(*) AS n FROM b GROUP BY bin),
+    cum AS (
+        SELECT bin, SUM(n) OVER (ORDER BY bin) AS cn,
+               SUM(n) OVER () AS total
+        FROM c
+    )
+    SELECT
+        (SELECT ROUND(2 * POWER({DD_GAMMA}, bin - {_DD_OFFSET})
+                      / ({DD_GAMMA} + 1), 6)
+         FROM cum WHERE cn >= GREATEST(1, ceil(0.50 * total))
+         ORDER BY bin LIMIT 1) AS p50_approx,
+        (SELECT ROUND(2 * POWER({DD_GAMMA}, bin - {_DD_OFFSET})
+                      / ({DD_GAMMA} + 1), 6)
+         FROM cum WHERE cn >= GREATEST(1, ceil(0.95 * total))
+         ORDER BY bin LIMIT 1) AS p95_approx,
+        (SELECT ROUND(2 * POWER({DD_GAMMA}, bin - {_DD_OFFSET})
+                      / ({DD_GAMMA} + 1), 6)
+         FROM cum WHERE cn >= GREATEST(1, ceil(0.99 * total))
+         ORDER BY bin LIMIT 1) AS p99_approx,
+        ROUND(({DD_GAMMA} - 1) * 100, 2) AS rel_error_pct,
+        (SELECT CAST(SUM(n) AS BIGINT) FROM c) AS n
+"""
