@@ -987,6 +987,14 @@ def paragraph_dedup(
             t["doc_id"].to_pylist(), t["text"].to_pylist()
         ):
             d = _doc_segments(text or "", w)
+            # key = doc_id * stride + seg_id is only injective while
+            # seg_id < stride; a >1M-segment doc (~5.2M words at w=5) would
+            # silently bleed into the next doc_id's key range
+            if len(d) >= _SEG_STRIDE:
+                raise ValueError(
+                    f"doc {doc_id}: {len(d)} segments >= _SEG_STRIDE "
+                    f"{_SEG_STRIDE}; widen the key to (doc_id, seg_id)"
+                )
             segs.extend(d)
             base = doc_id * _SEG_STRIDE
             keys.extend(range(base, base + len(d)))
@@ -1143,9 +1151,12 @@ def paragraph_dedup(
 
 PARAGRAPH_DEDUP_SQL = f"""
     WITH words AS (
-        SELECT doc_id, string_split(text, ' ') AS w,
-               CAST(ceil(len(string_split(text, ' ')) / {PARA_W}.0) AS BIGINT)
-                   AS ns
+        -- coalesce: NULL text must yield the same single-empty-segment row
+        -- the Ray path's ``text or ""`` produces (string_split(NULL) would
+        -- make ns NULL and the generate_series join emit no segments)
+        SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w,
+               CAST(ceil(len(string_split(coalesce(text, ''), ' '))
+                         / {PARA_W}.0) AS BIGINT) AS ns
         FROM documents
     ),
     segs AS (

@@ -161,9 +161,9 @@ def pack_sequences_sql(seq_len: int = DEFAULT_SEQ_LEN) -> str:
     return rf"""
         WITH t AS (
             SELECT doc_id,
-                   CASE WHEN text IS NULL OR trim(text) = '' THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
-                   END AS n_tokens
+                   len(list_filter(
+                       regexp_split_to_array(coalesce(text, ''), '\s+'),
+                       x -> x <> '')) AS n_tokens
             FROM documents
         ), c AS (
             SELECT doc_id, n_tokens,

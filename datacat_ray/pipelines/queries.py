@@ -389,9 +389,9 @@ def build_oracle_sql() -> dict[str, str]:
         "exact_dedup": "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
         "token_count": r"""
             SELECT doc_id,
-                   CASE WHEN text IS NULL OR trim(text) = '' THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
-                   END AS n_tokens
+                   len(list_filter(
+                       regexp_split_to_array(coalesce(text, ''), '\s+'),
+                       x -> x <> '')) AS n_tokens
             FROM documents
         """,
         "text_stats": r"""

@@ -467,8 +467,12 @@ def kmeans_clusters(
     partial rows of (cluster, count, sum-vector), tiny ``groupby(cluster)``
     merge, driver centroid update — the exchange is k×dim floats per
     round, never row-count. float32 components sum EXACTLY in float64, so
-    assignments are deterministic for any batch split / worker count (the
-    cluster-size-independence the north rule requires of every stage).
+    the per-round centroid UPDATE is deterministic for any batch split /
+    worker count; the assignment matmul goes through BLAS, whose reduction
+    order can vary with batch row-count, so a distance tie at the last ulp
+    could in principle flip an argmin across different batch splits (exact
+    ties between distinct float centroids are measure-zero on this data;
+    tests pin assignments against a fixed-order numpy reference).
     Init: the k lowest-vec_id vectors (pushdown-filtered read). Empty
     clusters keep their previous centroid. Ties go to the lowest cluster
     id (np.argmin convention, documented so reruns match)."""

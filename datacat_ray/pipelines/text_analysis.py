@@ -519,7 +519,8 @@ def top_bigrams(sf_dir: str, k: int = 20) -> pa.Table:
 
 TOP_BIGRAMS_SQL = r"""
     WITH toks AS (
-        SELECT regexp_split_to_array(trim(text), '\s+') AS a
+        SELECT list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                           x -> x <> '') AS a
         FROM documents WHERE trim(coalesce(text, '')) <> ''
     ),
     b AS (
@@ -708,7 +709,8 @@ def corpus_filter(sf_dir: str) -> "ray.data.Dataset":
 
 CORPUS_FILTER_SQL = f"""
     SELECT doc_id FROM documents
-    WHERE len(regexp_split_to_array(trim(text), '\\s+'))
+    WHERE len(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                          x -> x <> ''))
               BETWEEN {FILTER_MIN_TOKENS} AND {FILTER_MAX_TOKENS}
       AND n_chars >= {FILTER_MIN_CHARS}
       AND text IS NOT NULL AND trim(text) <> ''
@@ -849,9 +851,8 @@ def repetition_stats(sf_dir: str) -> "ray.data.Dataset":
 REPETITION_STATS_SQL = r"""
     WITH base AS (
         SELECT doc_id,
-               CASE WHEN text IS NULL OR trim(text) = ''
-                    THEN CAST([] AS VARCHAR[])
-                    ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
+               list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                           x -> x <> '') AS ws
         FROM documents
     ), wc AS (
         SELECT doc_id,
@@ -1511,9 +1512,8 @@ def corpus_gate(sf_dir: str) -> "ray.data.Dataset":
 CORPUS_GATE_SQL = rf"""
     WITH w AS (
         SELECT doc_id, lang, n_chars,
-               CASE WHEN text IS NULL OR trim(text) = ''
-                    THEN CAST([] AS VARCHAR[])
-                    ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
+               list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                           x -> x <> '') AS ws
         FROM documents
     ), c AS (
         SELECT doc_id, lang, n_chars,
