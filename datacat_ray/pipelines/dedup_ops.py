@@ -316,17 +316,32 @@ def _est_jaccard_batch(batch: pa.Table, threshold: float) -> pa.Table:
 _CAND_BROADCAST_MAX = 2_000_000  # pairs; above this, verify via join
 
 
+class BroadcastIdSetTooLarge(RuntimeError):
+    """The candidate-ID set outgrew the broadcast bound mid-accumulation;
+    callers fall back to the join verify path."""
+
+
+# distinct ids allowed on the driver in broadcast-verify mode. The pair
+# count alone is a bad proxy (a star-shaped pair list has ~n_pairs ids; a
+# matching-shaped one has 2×), so the accumulation itself is capped too.
+_CAND_ID_BROADCAST_MAX = 4_000_000
+
+
 def _fetch_candidate_values(
     cands: "ray.data.Dataset",
     id_cols: tuple[str, str],
     source_ds: "ray.data.Dataset",
     id_col: str,
     val_col: str,
+    max_ids: int = _CAND_ID_BROADCAST_MAX,
 ):
     """Shared verify-phase fetch: membership-filter ``source_ds`` down to
     the ids appearing in the candidate pairs (ONE streaming pass — never a
     full driver-side read) and broadcast the {id: value} map via
-    ``ray.put``. Driver memory is O(candidates). Consumers read the
+    ``ray.put``. Driver memory is O(candidate ids), enforced: the id-set
+    accumulation raises ``BroadcastIdSetTooLarge`` past ``max_ids`` so the
+    caller switches to its join path (the bound is on IDS, not pairs — the
+    quantity that actually sits on the driver). Consumers read the
     returned ref through ``bucketed.cached_ref`` (one deserialization per
     worker, not per batch)."""
     from datacat_ray.stages.bucketed import cached_ref
@@ -335,6 +350,11 @@ def _fetch_candidate_values(
     for b in cands.iter_batches(batch_format="pyarrow"):
         for c in id_cols:
             wanted.update(b[c].to_pylist())
+        if len(wanted) > max_ids:
+            raise BroadcastIdSetTooLarge(
+                f"candidate id set exceeded {max_ids} "
+                f"({len(wanted)} ids and counting)"
+            )
     ids_ref = ray.put(wanted)
 
     def _member(t: pa.Table) -> pa.Table:
@@ -347,6 +367,53 @@ def _fetch_candidate_values(
     ):
         out.update(zip(b[id_col].to_pylist(), b[val_col].to_pylist()))
     return ray.put(out)
+
+
+_SIG_MARKER = "_SIGS_OK_v1"
+
+
+def minhash_sigs_parquet(sf_dir: str, sig_dir: str | None = None) -> str:
+    """Write the (doc_id, sig) MinHash signature table to parquet ONCE per
+    input fingerprint and return the data directory — "write sigs once,
+    read three times" (band explode + both join-verify sides). Pinning the
+    sig table in the object store via ``materialize()`` instead would hold
+    ~1 KB/doc for the whole run (~1 PB at 10^12 docs); on disk it is a
+    narrow columnar table every pass streams with backpressure, and a
+    resumed run skips the build entirely. Same atomic marker/fingerprint
+    protocol as ``compute_winners_parquet`` (stages/dedup.py:229) and
+    ``build_ivf_index`` (pipelines/similarity.py). ``sig_dir`` must be
+    shared storage on a multi-node cluster."""
+    import hashlib
+    import os
+    import tempfile
+
+    from datacat_ray.stages.dedup import clear_cache_dir, input_fingerprint
+
+    src = f"{sf_dir}/documents.parquet"
+    if sig_dir is None:
+        digest = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+        sig_dir = os.path.join(tempfile.gettempdir(), f"datacat_sigs_{digest}")
+    data_dir = os.path.join(sig_dir, "data")
+    fp = input_fingerprint(src)
+    marker = os.path.join(sig_dir, _SIG_MARKER)
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read().strip() == fp:
+                return data_dir
+    if os.path.isdir(sig_dir):
+        # stale (input changed) or torn (crashed mid-build): clear so no
+        # old-input sig file can survive into the new layout
+        clear_cache_dir(
+            sig_dir, lambda f: f == "data" or f.startswith("_SIGS")
+        )
+    os.makedirs(data_dir, exist_ok=True)
+    docs = ray.data.read_parquet(src, columns=["doc_id", "text"])
+    docs.map_batches(_sig_rows, batch_format="pyarrow").write_parquet(data_dir)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(fp)
+    os.replace(tmp, marker)
+    return data_dir
 
 
 def minhash_candidate_pairs(
@@ -362,22 +429,21 @@ def minhash_candidate_pairs(
        CANDIDATE, not 16 KB per doc), then one vectorized signature-Jaccard
        kernel filters by threshold.
 
-    The sig table is materialized once (narrow: doc_id + 1 KB) and reused
-    by the band explode and the verify side — at 10^12 docs this is the
-    "write sigs to parquet once, read three times" pattern.
+    The sig table is written to parquet once per input fingerprint
+    (``minhash_sigs_parquet``) and READ by the band explode and each
+    verify side — nothing sig-sized is ever pinned in the object store.
 
     Verify method: ``"broadcast"`` fetches ONLY the candidate docs'
     signatures (one streaming membership filter over the sig table, then
-    ``ray.put``) — driver memory is O(candidates), fine up to millions of
-    pairs; ``"join"`` joins the sig table once per pair side — the path
-    when the candidate set itself exceeds driver memory. ``"auto"`` picks
-    by candidate count."""
+    ``ray.put``) — driver memory is O(candidate IDS), enforced by the
+    accumulation cap in ``_fetch_candidate_values`` (overflow falls back
+    to join mid-stream); ``"join"`` joins the sig table once per pair side
+    — the path when the candidate set itself exceeds driver memory.
+    ``"auto"`` picks by candidate count."""
     from ray.data.aggregate import Count
 
-    docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
-    sigs = docs.map_batches(_sig_rows, batch_format="pyarrow").materialize()
+    sig_path = minhash_sigs_parquet(sf_dir)
+    sigs = ray.data.read_parquet(sig_path)
     bands = sigs.map_batches(_band_rows, batch_format="pyarrow")
     cands = (
         bands.groupby("bucket")
@@ -390,14 +456,15 @@ def minhash_candidate_pairs(
     if method == "auto":
         method = "join" if cands.count() > _CAND_BROADCAST_MAX else "broadcast"
 
-    if method == "join":
+    def _join_verify() -> "ray.data.Dataset":
         # joins reserve one aggregator actor per partition: size to CPUs/2
-        # so two chained joins cannot deadlock a small session (measured)
+        # so two chained joins cannot deadlock a small session (measured).
+        # Each side is a FRESH read of the sig parquet — read #2 and #3.
         n_parts = max(2, min(16, int(ray.cluster_resources().get("CPU", 8)) // 2))
-        a_side = sigs.map_batches(
+        a_side = ray.data.read_parquet(sig_path).map_batches(
             lambda t: t.rename_columns(["doc_a", "sig_a"]), batch_format="pyarrow"
         )
-        b_side = sigs.map_batches(
+        b_side = ray.data.read_parquet(sig_path).map_batches(
             lambda t: t.rename_columns(["doc_b", "sig_b"]), batch_format="pyarrow"
         )
         joined = cands.join(a_side, "inner", n_parts, on=("doc_a",)).join(
@@ -407,13 +474,19 @@ def minhash_candidate_pairs(
             lambda t: _est_jaccard_batch(t, threshold), batch_format="pyarrow"
         )
 
+    if method == "join":
+        return _join_verify()
+
     # broadcast: one streaming pass filters the sig table down to candidate
-    # docs; only those (bounded by the candidate set) reach the driver
+    # docs; only those (bounded by the candidate-ID cap) reach the driver
     from datacat_ray.stages.bucketed import cached_ref
 
-    sig_ref = _fetch_candidate_values(
-        cands, ("doc_a", "doc_b"), sigs, "doc_id", "sig"
-    )
+    try:
+        sig_ref = _fetch_candidate_values(
+            cands, ("doc_a", "doc_b"), sigs, "doc_id", "sig"
+        )
+    except BroadcastIdSetTooLarge:
+        return _join_verify()
 
     def _verify(t: pa.Table) -> pa.Table:
         m = cached_ref(sig_ref)
@@ -429,29 +502,290 @@ def minhash_candidate_pairs(
     return cands.map_batches(_verify, batch_format="pyarrow")
 
 
+# -- distributed connected components (iterative min-label propagation) ----
+#
+# The pair graph usually fits the driver (it already passed LSH banding +
+# signature verify), but a boilerplate-heavy crawl emits pair lists
+# proportional to corpus size -- so past _UF_MAX_PAIRS the components run as
+# rounds of hash-partitioned min-label exchange with O(1) driver state (a
+# per-round (bucket, n_changed) fold, <= _LP_BUCKETS rows). Each round the
+# current (node -> label) pointers are fed back in as extra edges, which is
+# the Hash-to-Min acceleration: label trees flatten as they spread, so
+# rounds grow with log(component diameter), not diameter.
+
+_UF_MAX_PAIRS = 2_000_000  # pairs; above this, label propagation
+_LP_BUCKETS = 64
+_I64MAX = np.iinfo(np.int64).max
+_LP_CACHE: dict = {}
+_LP_CACHE_MAX = 16
+
+
+def _lp_init_rows(t: pa.Table) -> pa.Table:
+    """Round-0 fold input straight from the edge list: each endpoint is
+    proposed min(a, b); its old label is its own id."""
+    a = t["doc_a"].to_numpy()
+    b = t["doc_b"].to_numpy()
+    m = np.minimum(a, b)
+    return pa.Table.from_pydict(
+        {
+            "node": pa.array(np.concatenate([a, b]), type=pa.int64()),
+            "cand": pa.array(np.concatenate([m, m]), type=pa.int64()),
+            "old": pa.array(np.concatenate([a, b]), type=pa.int64()),
+        }
+    )
+
+
+def _lp_edge_rows(t: pa.Table) -> pa.Table:
+    """Symmetric scatter rows for static edges: (key, nbr, lab=+inf)."""
+    a = t["doc_a"].to_numpy()
+    b = t["doc_b"].to_numpy()
+    n = len(a)
+    return pa.Table.from_pydict(
+        {
+            "key": pa.array(np.concatenate([a, b]), type=pa.int64()),
+            "nbr": pa.array(np.concatenate([b, a]), type=pa.int64()),
+            "lab": pa.array(np.full(2 * n, _I64MAX, np.int64), type=pa.int64()),
+        }
+    )
+
+
+def _lp_label_rows(t: pa.Table) -> pa.Table:
+    """Holder rows (nbr == -1, lab = current label) plus -- where the label
+    is a different node -- symmetric label-pointer edges (Hash-to-Min)."""
+    node = t["node"].to_numpy()
+    lab = t["label"].to_numpy()
+    ptr = lab != node
+    pn, pl = node[ptr], lab[ptr]
+    return pa.Table.from_pydict(
+        {
+            "key": pa.array(np.concatenate([node, pn, pl]), type=pa.int64()),
+            "nbr": pa.array(
+                np.concatenate([np.full(len(node), -1, np.int64), pl, pn]),
+                type=pa.int64(),
+            ),
+            "lab": pa.array(
+                np.concatenate([lab, np.full(2 * len(pn), _I64MAX, np.int64)]),
+                type=pa.int64(),
+            ),
+        }
+    )
+
+
+def _lp_scatter(g: pa.Table) -> pa.Table:
+    """Per-bucket scatter: each key's current min label is proposed to
+    every neighbor and back to the key itself. Vectorized -- one
+    ``np.unique`` + two ``np.minimum.at`` per bucket, no per-row Python."""
+    key = g["key"].to_numpy()
+    nbr = g["nbr"].to_numpy()
+    lab = g["lab"].to_numpy()
+    uk, inv = np.unique(key, return_inverse=True)
+    holder = nbr == -1
+    cur = np.full(len(uk), _I64MAX, np.int64)
+    np.minimum.at(cur, inv[holder], lab[holder])
+    cur = np.minimum(cur, uk)  # a node's own id is always a valid label
+    m = cur[inv]
+    e = ~holder
+    return pa.Table.from_pydict(
+        {
+            "node": pa.array(np.concatenate([uk, nbr[e]]), type=pa.int64()),
+            "cand": pa.array(np.concatenate([cur, m[e]]), type=pa.int64()),
+            "old": pa.array(
+                np.concatenate([cur, np.full(int(e.sum()), _I64MAX, np.int64)]),
+                type=pa.int64(),
+            ),
+        }
+    )
+
+
+def _lp_fold_factory(round_dir: str):
+    """Per-bucket fold: new label = min proposal per node, written to one
+    atomic parquet file per bucket; returns only (bucket, n, n_changed)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    def _fold(g: pa.Table) -> pa.Table:
+        b = int(g["__bucket"][0].as_py())
+        node = g["node"].to_numpy()
+        uk, inv = np.unique(node, return_inverse=True)
+        newl = np.full(len(uk), _I64MAX, np.int64)
+        np.minimum.at(newl, inv, g["cand"].to_numpy())
+        oldl = np.full(len(uk), _I64MAX, np.int64)
+        np.minimum.at(oldl, inv, g["old"].to_numpy())
+        changed = int((newl < oldl).sum())
+        t = pa.Table.from_pydict(
+            {"node": pa.array(uk, type=pa.int64()),
+             "label": pa.array(newl, type=pa.int64())}
+        )
+        tmp = os.path.join(round_dir, f".tmp.bucket-{b:05d}.parquet.{os.getpid()}")
+        pq.write_table(t, tmp)
+        os.replace(tmp, os.path.join(round_dir, f"bucket-{b:05d}.parquet"))
+        return pa.Table.from_pydict(
+            {"bucket": pa.array([b], pa.int32()),
+             "n": pa.array([len(uk)], pa.int64()),
+             "n_changed": pa.array([changed], pa.int64())}
+        )
+
+    return _fold
+
+
+def label_propagation_parquet(
+    edges_path: str, work_dir: str, max_rounds: int = 64
+) -> str | None:
+    """Connected components over an edge-list parquet (doc_a, doc_b) as
+    iterative distributed min-label propagation; returns the directory of
+    the converged (node, label) bucket-parquet table, or None for an empty
+    edge list. Per round: one bucket exchange to gather labels and scatter
+    proposals, one to fold minima and checkpoint the new label table to
+    parquet (resumable; each round reads only the previous round's files).
+    The driver holds one (bucket, n_changed) row per bucket per round."""
+    import os
+    import shutil
+
+    from datacat_ray.stages.bucketed import add_bucket
+
+    edges = ray.data.read_parquet(edges_path)
+
+    rows = edges.map_batches(_lp_init_rows, batch_format="pyarrow")
+    prev_dir: str | None = None
+    for r in range(max_rounds + 1):
+        round_dir = os.path.join(work_dir, f"round-{r:03d}")
+        shutil.rmtree(round_dir, ignore_errors=True)
+        os.makedirs(round_dir, exist_ok=True)
+        stats = (
+            rows.map_batches(
+                lambda t: add_bucket(t, "node", _LP_BUCKETS),
+                batch_format="pyarrow",
+            )
+            .groupby("__bucket")
+            .map_groups(_lp_fold_factory(round_dir), batch_format="pyarrow")
+            .take_all()  # <= _LP_BUCKETS tiny rows -- the only driver state
+        )
+        if not stats:  # no edges at all: every doc is a singleton
+            return None
+        changed = sum(s["n_changed"] for s in stats)
+        if prev_dir is not None:
+            shutil.rmtree(prev_dir, ignore_errors=True)
+        prev_dir = round_dir
+        if changed == 0:
+            return round_dir
+        rows = (
+            edges.map_batches(_lp_edge_rows, batch_format="pyarrow")
+            .union(
+                ray.data.read_parquet(round_dir).map_batches(
+                    _lp_label_rows, batch_format="pyarrow"
+                )
+            )
+            .map_batches(
+                lambda t: add_bucket(t, "key", _LP_BUCKETS),
+                batch_format="pyarrow",
+            )
+            .groupby("__bucket")
+            .map_groups(_lp_scatter, batch_format="pyarrow")
+        )
+    raise RuntimeError(f"label propagation did not converge in {max_rounds} rounds")
+
+
+def _label_bucket_map(lab_dir: str, b: int) -> dict[int, int]:
+    """Per-worker LRU over one converged label bucket: {node: label}.
+    Bounded memory at any corpus size (same shape as the paragraph-dedup
+    decision buckets)."""
+    import os
+    from collections import OrderedDict
+
+    global _LP_CACHE
+    if not isinstance(_LP_CACHE, OrderedDict):
+        _LP_CACHE = OrderedDict(_LP_CACHE)
+    key = (lab_dir, b)
+    d = _LP_CACHE.get(key)
+    if d is not None:
+        _LP_CACHE.move_to_end(key)
+        return d
+    import pyarrow.parquet as pq
+
+    f = os.path.join(lab_dir, f"bucket-{b:05d}.parquet")
+    d = {}
+    if os.path.exists(f):
+        t = pq.read_table(f)
+        d = dict(zip(t["node"].to_numpy().tolist(),
+                     t["label"].to_numpy().tolist()))
+    _LP_CACHE[key] = d
+    while len(_LP_CACHE) > _LP_CACHE_MAX:
+        _LP_CACHE.popitem(last=False)
+    return d
+
+
 def neardup_clusters(
-    sf_dir: str, threshold: float = 0.7
+    sf_dir: str,
+    threshold: float = 0.7,
+    mode: str = "auto",
+    work_dir: str | None = None,
 ) -> "ray.data.Dataset":
     """(doc_id, cluster_id) for EVERY doc: connected components over the
     MinHash near-dup pair graph, cluster_id = min doc_id in the component;
     docs with no near-dup edge are singletons (their own id). This is the
-    end-to-end consumer of the pair list — keep ``doc_id == cluster_id``
+    end-to-end consumer of the pair list -- keep ``doc_id == cluster_id``
     rows to deduplicate a corpus.
 
-    Shape: the pair list is orders of magnitude smaller than the corpus
-    (it already passed LSH banding + signature verification), so the
-    union-find runs on the driver over streamed pair batches and the
-    root map broadcasts back into one streaming assignment pass. At pair
-    counts beyond driver memory this becomes iterative hash-partitioned
-    label propagation (min-label exchange per round) — same output.
+    ``mode="driver"``: union-find over streamed pair batches + broadcast
+    root map -- O(pairs) driver memory, right while pairs are much smaller
+    than the corpus. ``mode="distributed"``: pairs spilled to parquet,
+    components via ``label_propagation_parquet`` (O(1) driver state),
+    assignment via a map-only pass reading the converged label buckets
+    through a per-worker LRU -- the 10^12-doc path, pinned equal to the
+    driver path in tests (test_neardup_lp). ``"auto"`` switches on the
+    pair count (``_UF_MAX_PAIRS``).
 
     Hot-bucket caveat: star-capped buckets (>MAX_BUCKET) only stay
     connected through star links whose signature Jaccard ALSO clears the
     threshold; borderline members of a capped cluster can fall out as
     singletons."""
-    from datacat_ray.stages.bucketed import cached_ref
+    from datacat_ray.stages.bucketed import cached_ref, int_bucket_codes
 
-    pairs = minhash_candidate_pairs(sf_dir, threshold)
+    pairs = minhash_candidate_pairs(sf_dir, threshold).materialize()  # tiny
+    if mode == "auto":
+        mode = "distributed" if pairs.count() > _UF_MAX_PAIRS else "driver"
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    if mode == "distributed":
+        import hashlib
+        import os
+        import shutil
+        import tempfile
+
+        if work_dir is None:
+            digest = hashlib.sha1(
+                f"{sf_dir}:{threshold}".encode()
+            ).hexdigest()[:12]
+            work_dir = os.path.join(tempfile.gettempdir(), f"datacat_lp_{digest}")
+        shutil.rmtree(work_dir, ignore_errors=True)
+        edges_path = os.path.join(work_dir, "edges")
+        os.makedirs(edges_path, exist_ok=True)
+        pairs.select_columns(["doc_a", "doc_b"]).write_parquet(edges_path)
+        lab_dir = label_propagation_parquet(edges_path, work_dir)
+
+        def _assign_lp(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+            if lab_dir is None:
+                cluster = ids.astype(np.int64)
+            else:
+                codes = int_bucket_codes(ids, _LP_BUCKETS)
+                cluster = np.array(
+                    [
+                        _label_bucket_map(lab_dir, int(bc)).get(int(d), int(d))
+                        for d, bc in zip(ids, codes)
+                    ],
+                    dtype=np.int64,
+                )
+            return pa.Table.from_pydict(
+                {"doc_id": t["doc_id"],
+                 "cluster_id": pa.array(cluster, type=pa.int64())}
+            )
+
+        return docs.map_batches(_assign_lp, batch_format="pyarrow")
 
     parent: dict[int, int] = {}
 
@@ -482,9 +816,6 @@ def neardup_clusters(
             }
         )
 
-    docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id"]
-    )
     return docs.map_batches(_assign, batch_format="pyarrow")
 
 
@@ -728,7 +1059,7 @@ def ngram_jaccard_pairs(
     if method == "auto":
         method = "join" if cands.count() > _CAND_BROADCAST_MAX else "broadcast"
 
-    if method == "join":
+    def _join_verify() -> "ray.data.Dataset":
         # partition count sized to the session: each hash-join partition is
         # backed by an aggregator actor reserving a core — two 16-partition
         # joins DEADLOCK a 4-CPU session outright (measured), so cap at
@@ -750,6 +1081,9 @@ def ngram_jaccard_pairs(
             lambda b: _exact_jaccard_batch(b, threshold), batch_format="pyarrow"
         )
 
+    if method == "join":
+        return _join_verify()
+
     # broadcast: membership-filter the documents table down to candidate
     # docs in one streaming pass; only those texts reach the driver
     from datacat_ray.stages.bucketed import cached_ref
@@ -757,9 +1091,12 @@ def ngram_jaccard_pairs(
     docs_ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    text_ref = _fetch_candidate_values(
-        cands, ("doc_a", "doc_b"), docs_ds, "doc_id", "text"
-    )
+    try:
+        text_ref = _fetch_candidate_values(
+            cands, ("doc_a", "doc_b"), docs_ds, "doc_id", "text"
+        )
+    except BroadcastIdSetTooLarge:
+        return _join_verify()
 
     def _verify(batch: pa.Table) -> pa.Table:
         texts = cached_ref(text_ref)
@@ -886,9 +1223,53 @@ def embedding_neardup_pairs(
     )
     from datacat_ray.stages.bucketed import cached_ref
 
-    unit_ref = _fetch_candidate_values(
-        cands, ("vec_a", "vec_b"), units, "vec_id", "unit"
-    )
+    def _cos_rows(va, vb, a: np.ndarray, b: np.ndarray) -> pa.Table:
+        cos = np.einsum("ij,ij->i", a, b)
+        keep = cos >= threshold
+        idx = pa.array(np.flatnonzero(keep))
+        return pa.Table.from_pydict(
+            {
+                "vec_a": pc.take(va, idx),
+                "vec_b": pc.take(vb, idx),
+                "cosine": pa.array(np.round(cos[keep], 6), type=pa.float64()),
+            }
+        )
+
+    def _join_verify() -> "ray.data.Dataset":
+        # candidate ids outgrew the broadcast bound: join the unit table
+        # once per pair side instead (nothing pair-related on the driver)
+        n_parts = max(2, min(16, int(ray.cluster_resources().get("CPU", 8)) // 2))
+        a_side = units.map_batches(
+            lambda t: t.rename_columns(["vec_a", "unit_a"]),
+            batch_format="pyarrow",
+        )
+        b_side = units.map_batches(
+            lambda t: t.rename_columns(["vec_b", "unit_b"]),
+            batch_format="pyarrow",
+        )
+        joined = cands.join(a_side, "inner", n_parts, on=("vec_a",)).join(
+            b_side, "inner", n_parts, on=("vec_b",)
+        )
+
+        def _vj(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.Table.from_pydict(
+                    {"vec_a": pa.array([], pa.int64()),
+                     "vec_b": pa.array([], pa.int64()),
+                     "cosine": pa.array([], pa.float64())}
+                )
+            a = np.array(t["unit_a"].to_pylist(), dtype=np.float64)
+            b = np.array(t["unit_b"].to_pylist(), dtype=np.float64)
+            return _cos_rows(t["vec_a"], t["vec_b"], a, b)
+
+        return joined.map_batches(_vj, batch_format="pyarrow")
+
+    try:
+        unit_ref = _fetch_candidate_values(
+            cands, ("vec_a", "vec_b"), units, "vec_id", "unit"
+        )
+    except BroadcastIdSetTooLarge:
+        return _join_verify()
 
     def _verify(t: pa.Table) -> pa.Table:
         m = cached_ref(unit_ref)
@@ -900,18 +1281,7 @@ def embedding_neardup_pairs(
             )
         a = np.array([m[v] for v in t["vec_a"].to_pylist()], dtype=np.float64)
         b = np.array([m[v] for v in t["vec_b"].to_pylist()], dtype=np.float64)
-        cos = np.einsum("ij,ij->i", a, b)
-        keep = cos >= threshold
-        idx = pa.array(np.flatnonzero(keep))
-        import pyarrow.compute as _pc
-
-        return pa.Table.from_pydict(
-            {
-                "vec_a": _pc.take(t["vec_a"], idx),
-                "vec_b": _pc.take(t["vec_b"], idx),
-                "cosine": pa.array(np.round(cos[keep], 6), type=pa.float64()),
-            }
-        )
+        return _cos_rows(t["vec_a"], t["vec_b"], a, b)
 
     return cands.map_batches(_verify, batch_format="pyarrow")
 
