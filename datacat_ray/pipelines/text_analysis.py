@@ -1123,87 +1123,117 @@ def dup_ngram_fraction_sql(n: int = DUP_NGRAM_N) -> str:
 TFIDF_K = 5
 
 
-def tfidf_top_terms(sf_dir: str, k: int = TFIDF_K) -> "ray.data.Dataset":
-    """Per-doc top-``k`` terms by tf·idf (idf = ln(N/df)) with (score DESC,
-    term ASC) tie-break — the classic keyword/feature extractor.
+def tfidf_top_terms(
+    sf_dir: str, k: int = TFIDF_K, n_buckets: int = 64
+) -> "ray.data.Dataset":
+    """Per-doc top-``k`` terms by tf*idf (idf = ln(N/df)) with (score DESC,
+    term ASC) tie-break -- the classic keyword/feature extractor.
 
-    Shape: pass 1 computes global document frequencies with the map-side
-    combiner pattern (per-batch DISTINCT (term → #docs) partials, one
-    vocabulary-sized ``groupby(term).sum``); N comes from parquet metadata
-    (no data read). The df table is broadcast via ``ray.put`` (a natural-
-    language vocabulary is ~10^6 terms ≈ tens of MB — small-side by
-    definition; a corpus whose key space outgrows that should hash-join
-    doc-term rows against the df table instead). Pass 2 re-tokenizes and
-    scores doc-locally — tf and top-k need no shuffle at all. Ranking
-    compares the ROUNDED integer micros, so Ray and SQL can never disagree
-    on order within a doc."""
+    Shape (NO driver-side vocabulary -- the whole term table never leaves
+    the cluster): one tokenize pass emits narrow (doc_id, term, tf) rows
+    (distinct per doc by construction), then TWO hash shuffles of those
+    narrow rows. (1) bucket by term: a term's rows live wholly in one
+    bucket, so its document frequency is just its run length after an
+    in-bucket sort, and scores are computed in place -- one vectorized
+    kernel per bucket, O(n_buckets) Python calls. (2) bucket by doc:
+    vectorized per-bucket top-k (``keep_first_k``) + rank. The only
+    driver-side state is the scalar N (parquet metadata; no data read).
+    Ranking compares the ROUNDED integer micros with term-ASC tie-break,
+    so Ray and SQL can never disagree on order within a doc."""
     import collections
 
     import pyarrow.parquet as _pq
 
-    from ray.data.aggregate import Sum
-
-    from datacat_ray.stages.bucketed import cached_ref
+    from datacat_ray.stages.bucketed import (
+        add_bucket,
+        keep_first_k,
+        sorted_key_bounds,
+    )
 
     path = f"{sf_dir}/documents.parquet"
     n_docs = _pq.ParquetFile(path).metadata.num_rows
-
     ds = ray.data.read_parquet(path, columns=["doc_id", "text"])
 
-    def _df_partials(batch: pa.Table) -> pa.Table:
-        c: collections.Counter = collections.Counter()
-        for t in batch["text"].to_pylist():
-            c.update(set(ascii_tokens(t)))
-        return pa.Table.from_pydict(
-            {
-                "term": pa.array(list(c.keys()), type=pa.string()),
-                "partial": pa.array(list(c.values()), type=pa.int64()),
-            }
-        )
-
-    df_rows = (
-        ds.map_batches(_df_partials, batch_format="pyarrow")
-        .groupby("term")
-        .aggregate(Sum("partial", alias_name="df"))
-        .take_all()  # vocabulary-sized, not corpus-sized
-    )
-    import ray as _ray
-
-    df_ref = _ray.put({r["term"]: r["df"] for r in df_rows})
-
-    def _score(batch: pa.Table) -> pa.Table:
-        df = cached_ref(df_ref)
-        out_doc, out_term, out_score, out_rank = [], [], [], []
+    def _dt_rows(batch: pa.Table) -> pa.Table:
+        docs: list[int] = []
+        terms: list[str] = []
+        tfs: list[int] = []
         for doc_id, text in zip(
             batch["doc_id"].to_pylist(), batch["text"].to_pylist()
         ):
-            tf = collections.Counter(ascii_tokens(text))
-            scored = sorted(
-                (
-                    (
-                        -int(np.floor(
-                            c * np.log(n_docs / df[w]) * 1_000_000 + 0.5
-                        )),
-                        w,
-                    )
-                    for w, c in tf.items()
-                ),
-            )[:k]
-            for r, (neg, w) in enumerate(scored, start=1):
-                out_doc.append(doc_id)
-                out_term.append(w)
-                out_score.append(-neg)
-                out_rank.append(r)
+            c = collections.Counter(ascii_tokens(text))
+            docs.extend([doc_id] * len(c))
+            terms.extend(c.keys())
+            tfs.extend(c.values())
+        return add_bucket(
+            pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array(docs, pa.int64()),
+                    "term": pa.array(terms, pa.string()),
+                    "tf": pa.array(tfs, pa.int64()),
+                }
+            ),
+            "term",
+            n_buckets,
+        )
+
+    def _score_bucket(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__bucket"]).sort_by([("term", "ascending")])
+        tv = t["term"].combine_chunks().to_numpy(zero_copy_only=False)
+        starts = sorted_key_bounds(tv)
+        run_len = np.diff(np.append(starts, len(tv)))
+        df = np.repeat(run_len, run_len).astype(np.float64)
+        tf = (
+            t["tf"].combine_chunks().to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        score = np.floor(tf * np.log(n_docs / df) * 1_000_000 + 0.5).astype(
+            np.int64
+        )
+        return add_bucket(
+            pa.Table.from_pydict(
+                {
+                    "doc_id": t["doc_id"],
+                    "term": t["term"],
+                    "score_micros": pa.array(score, pa.int64()),
+                    # keep_first_k sorts ascending only; rank on the negation
+                    "neg_score": pa.array(-score, pa.int64()),
+                }
+            ),
+            "doc_id",
+            n_buckets,
+        )
+
+    def _topk_bucket(g: pa.Table) -> pa.Table:
+        t = keep_first_k(
+            g.drop_columns(["__bucket"]), "doc_id", ["neg_score", "term"], k
+        )
+        # keep_first_k returns rows in (doc, neg_score, term) order, so the
+        # in-run offset IS the rank
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        starts = sorted_key_bounds(ids)
+        run_len = np.diff(np.append(starts, len(ids)))
+        rank = (
+            np.arange(len(ids), dtype=np.int64)
+            - np.repeat(starts, run_len)
+            + 1
+        )
         return pa.Table.from_pydict(
             {
-                "doc_id": pa.array(out_doc, pa.int64()),
-                "term": pa.array(out_term, pa.string()),
-                "score_micros": pa.array(out_score, pa.int64()),
-                "rank": pa.array(out_rank, pa.int64()),
+                "doc_id": t["doc_id"],
+                "term": t["term"],
+                "score_micros": t["score_micros"],
+                "rank": pa.array(rank, pa.int64()),
             }
         )
 
-    return ds.map_batches(_score, batch_format="pyarrow")
+    return (
+        ds.map_batches(_dt_rows, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_score_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_topk_bucket, batch_format="pyarrow")
+    )
 
 
 def tfidf_top_terms_sql(k: int = TFIDF_K) -> str:
@@ -1346,83 +1376,133 @@ def term_postings_sql(cap: int = POSTINGS_CAP) -> str:
 # ---------------------------------------------------------------------------
 
 
-def unigram_logprob(sf_dir: str) -> "ray.data.Dataset":
+def unigram_logprob(sf_dir: str, n_buckets: int = 64) -> "ray.data.Dataset":
     """Per-doc unigram negative log-likelihood under the corpus's own
-    unigram model — the CCNet/Wikipedia-LM quality-filter shape (docs with
+    unigram model -- the CCNet/Wikipedia-LM quality-filter shape (docs with
     high average NLL are "surprising" relative to the corpus: noise, spam,
     wrong language).
 
-    Pass 1 builds the model with the map-side combiner (vocabulary-sized
-    exchange) and broadcasts {term: count} + the exact total once.
-    Pass 2 is doc-local. Every token's nll is rounded to integer micros
-    BEFORE summation, so the per-doc totals are exact integer sums —
-    order-independent and bit-equal to the SQL mirror (a float sum of logs
-    would be summation-order-dependent on both sides)."""
+    Shape (NO driver-side vocabulary): a tiny streaming aggregate first
+    yields the corpus token total (ONE int64 on the driver). Then one
+    tokenize pass emits narrow (doc_id, term, cnt) rows -- zero-token docs
+    contribute a cnt=0 sentinel so every doc appears in the output, the
+    LEFT JOIN of the SQL mirror. Bucketing by term puts each term's rows
+    wholly in one bucket, where its corpus count is an in-bucket run sum
+    and each row's contribution becomes cnt * nll(term) -- the term string
+    is DROPPED there, so the second shuffle (bucket by doc, fold sums)
+    moves three-int64 rows only. Every token's nll is rounded to integer
+    micros BEFORE summation, so per-doc totals are exact integer sums --
+    order-independent and bit-equal to the SQL mirror."""
     import collections
 
     from ray.data.aggregate import Sum
 
-    from datacat_ray.stages.bucketed import cached_ref
+    from datacat_ray.stages.bucketed import add_bucket, sorted_key_bounds
 
     ds = _read_documents(sf_dir, ["doc_id", "text"])
 
-    def _partial_counts(batch: pa.Table) -> pa.Table:
-        c: collections.Counter = collections.Counter()
-        for t in batch["text"].to_pylist():
-            c.update(ascii_tokens(t))
+    def _tok_counts(batch: pa.Table) -> pa.Table:
         return pa.Table.from_pydict(
             {
-                "term": pa.array(list(c.keys()), pa.string()),
-                "partial": pa.array(list(c.values()), pa.int64()),
+                "n": pa.array(
+                    [
+                        sum(len(ascii_tokens(t)) for t in
+                            batch["text"].to_pylist())
+                    ],
+                    pa.int64(),
+                )
             }
         )
 
-    freq_rows = (
-        ds.map_batches(_partial_counts, batch_format="pyarrow")
-        .groupby("term")
-        .aggregate(Sum("partial", alias_name="n"))
-        .take_all()  # vocabulary-sized
+    total_row = (
+        ds.map_batches(_tok_counts, batch_format="pyarrow")
+        .aggregate(Sum("n", alias_name="total"))
     )
-    freq = {r["term"]: r["n"] for r in freq_rows}
-    total = sum(freq.values())
-    import ray as _ray
+    total = int((total_row or {}).get("total") or 0)
 
-    freq_ref = _ray.put(freq)
-
-    _nll_cache: dict[int, dict[str, int]] = {}
-
-    def _score(batch: pa.Table) -> pa.Table:
-        f = cached_ref(freq_ref)
-        # one log per VOCAB TERM per worker, not one per token occurrence
-        nll_of = _nll_cache.get(id(f))
-        if nll_of is None:
-            nll_of = {
-                w: int(np.floor(-np.log(n / total) * 1_000_000 + 0.5))
-                for w, n in f.items()
-            }
-            _nll_cache.clear()
-            _nll_cache[id(f)] = nll_of
-        out_doc, out_n, out_nll = [], [], []
+    def _dt_rows(batch: pa.Table) -> pa.Table:
+        docs: list[int] = []
+        terms: list[str] = []
+        cnts: list[int] = []
         for doc_id, text in zip(
             batch["doc_id"].to_pylist(), batch["text"].to_pylist()
         ):
-            toks = ascii_tokens(text)
-            out_doc.append(doc_id)
-            out_n.append(len(toks))
-            out_nll.append(sum(map(nll_of.__getitem__, toks)))
+            c = collections.Counter(ascii_tokens(text))
+            if not c:
+                # sentinel keeps zero-token docs in the output (cnt = 0
+                # contributes nothing to either sum)
+                docs.append(doc_id)
+                terms.append("")
+                cnts.append(0)
+                continue
+            docs.extend([doc_id] * len(c))
+            terms.extend(c.keys())
+            cnts.extend(c.values())
+        return add_bucket(
+            pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array(docs, pa.int64()),
+                    "term": pa.array(terms, pa.string()),
+                    "cnt": pa.array(cnts, pa.int64()),
+                }
+            ),
+            "term",
+            n_buckets,
+        )
+
+    def _nll_bucket(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__bucket"]).sort_by([("term", "ascending")])
+        tv = t["term"].combine_chunks().to_numpy(zero_copy_only=False)
+        cnt = t["cnt"].combine_chunks().to_numpy(zero_copy_only=False)
+        starts = sorted_key_bounds(tv)
+        run_len = np.diff(np.append(starts, len(tv)))
+        n_term = np.repeat(np.add.reduceat(cnt, starts), run_len)
+        nll = np.zeros(len(tv), dtype=np.int64)
+        pos = n_term > 0  # sentinel runs (cnt 0 everywhere) stay at 0
+        nll[pos] = np.floor(
+            -np.log(n_term[pos] / float(total)) * 1_000_000 + 0.5
+        ).astype(np.int64)
+        return add_bucket(
+            pa.Table.from_pydict(
+                {
+                    "doc_id": t["doc_id"],
+                    "n_tokens": pa.array(cnt, pa.int64()),
+                    "nll_micros": pa.array(cnt * nll, pa.int64()),
+                }
+            ),
+            "doc_id",
+            n_buckets,
+        )
+
+    def _doc_fold(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__bucket"]).sort_by([("doc_id", "ascending")])
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        starts = sorted_key_bounds(ids)
+        n = np.add.reduceat(
+            t["n_tokens"].combine_chunks().to_numpy(zero_copy_only=False),
+            starts,
+        )
+        v = np.add.reduceat(
+            t["nll_micros"].combine_chunks().to_numpy(zero_copy_only=False),
+            starts,
+        )
+        avg = np.where(n > 0, v // np.maximum(n, 1), 0)
         return pa.Table.from_pydict(
             {
-                "doc_id": pa.array(out_doc, pa.int64()),
-                "n_tokens": pa.array(out_n, pa.int64()),
-                "nll_micros": pa.array(out_nll, pa.int64()),
-                "avg_nll_micros": pa.array(
-                    [v // n if n else 0 for v, n in zip(out_nll, out_n)],
-                    pa.int64(),
-                ),
+                "doc_id": pa.array(ids[starts], pa.int64()),
+                "n_tokens": pa.array(n, pa.int64()),
+                "nll_micros": pa.array(v, pa.int64()),
+                "avg_nll_micros": pa.array(avg, pa.int64()),
             }
         )
 
-    return ds.map_batches(_score, batch_format="pyarrow")
+    return (
+        ds.map_batches(_dt_rows, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_nll_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_doc_fold, batch_format="pyarrow")
+    )
 
 
 UNIGRAM_LOGPROB_SQL = r"""
