@@ -1130,7 +1130,9 @@ def _unit_rows(batch: pa.Table) -> pa.Table:
     """(vec_id, unit): unit-normalized vectors, computed once and reused by
     the band explode and verification (the 'sig table' of this family)."""
     vec_ids = np.array(batch["vec_id"].to_pylist(), dtype=np.int64)
-    embs = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+    from datacat_ray.pipelines.similarity import vec_matrix
+
+    embs = vec_matrix(batch["embedding"])
     norms = np.linalg.norm(embs, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     unit = embs / norms
@@ -1151,7 +1153,9 @@ def _embed_band_rows(batch: pa.Table) -> pa.Table:
     the B band rows multiplied shuffle volume ×10; verification fetches
     vectors once per candidate instead."""
     vec_ids = np.array(batch["vec_id"].to_pylist(), dtype=np.int64)
-    unit = np.array(batch["unit"].to_pylist(), dtype=np.float64)
+    from datacat_ray.pipelines.similarity import vec_matrix
+
+    unit = vec_matrix(batch["unit"])
     bits = (unit @ _hyperplanes(unit.shape[1]).T) > 0  # (n, B*r)
     bits = bits.reshape(len(unit), N_TABLES, N_PLANES)
     table_keys = bits @ (1 << np.arange(N_PLANES))  # (n, B)

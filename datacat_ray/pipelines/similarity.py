@@ -19,6 +19,20 @@ import ray
 import ray.data
 
 
+def vec_matrix(col) -> np.ndarray:
+    """(n, dim) float64 matrix from a list<float> column WITHOUT building
+    per-row Python lists: ``flatten()`` hands back the child values buffer
+    (offset-aware), ``to_numpy`` views it zero-copy, and the only copy is
+    the one vectorized float32→float64 cast the math needs. ~10× cheaper
+    than ``np.array(col.to_pylist())`` on wide batches."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    v = arr.flatten().to_numpy(zero_copy_only=False)
+    return v.astype(np.float64, copy=False).reshape(n, -1)
+
+
 def _load_query_rows(sf_dir: str, query_vec_ids) -> pa.Table:
     """Pushdown-filtered read of JUST the query rows: the predicate prunes
     parquet row groups via statistics, so the driver never materializes the
@@ -51,8 +65,8 @@ def brute_force_topk(
 
     def _local_topk(batch: pa.Table) -> pa.Table:
         qv = ray.get(q_ref)
-        ids = np.array(batch["vec_id"].to_pylist(), dtype=np.int64)
-        embs = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        ids = batch["vec_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        embs = vec_matrix(batch["embedding"])
         norms = np.linalg.norm(embs, axis=1)
         norms[norms == 0] = 1.0
         sims = (embs @ qv) / norms
@@ -100,8 +114,8 @@ def multi_query_topk(
 
     def _local(batch: pa.Table) -> pa.Table:
         Qm = ray.get(q_ref)  # (Q, dim)
-        ids = np.array(batch["vec_id"].to_pylist(), dtype=np.int64)
-        embs = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        ids = batch["vec_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        embs = vec_matrix(batch["embedding"])
         norms = np.linalg.norm(embs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         sims = (embs / norms) @ Qm.T  # (n, Q)
@@ -204,7 +218,7 @@ def ivf_bucket_of(unit: np.ndarray, centroids: np.ndarray) -> np.ndarray:
 
 def _unit_rows(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
-    embs = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    embs = vec_matrix(t["embedding"])
     norms = np.linalg.norm(embs, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     return ids, embs / norms
@@ -329,8 +343,8 @@ def ivf_topk(
 
     def _probe_topk(batch: pa.Table) -> pa.Table:
         qv = ray.get(q_ref)
-        ids = np.array(batch["vec_id"].to_pylist(), dtype=np.int64)
-        unit = np.array(batch["unit"].to_pylist(), dtype=np.float64)
+        ids = batch["vec_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        unit = vec_matrix(batch["unit"])
         mask = ids != query_vec_id
         ids, unit = ids[mask], unit[mask]
         sims = unit @ qv
@@ -377,7 +391,7 @@ def label_centroids(sf_dir: str) -> pa.Table:
 
     def _partials(t: pa.Table) -> pa.Table:
         labels = np.asarray(t["label"].to_pylist(), dtype=np.int64)
-        mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        mat = vec_matrix(t["embedding"])
         uids, inv = np.unique(labels, return_inverse=True)
         sums = np.zeros((len(uids), mat.shape[1]), dtype=np.float64)
         np.add.at(sums, inv, mat)
@@ -487,7 +501,7 @@ def kmeans_clusters(
                   filter=pads.field("vec_id") < k)
         .sort_by("vec_id")
     )
-    cent = np.array(seed_t["embedding"].to_pylist(), dtype=np.float64)
+    cent = vec_matrix(seed_t["embedding"])
 
     ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
 
@@ -503,7 +517,7 @@ def kmeans_clusters(
             from datacat_ray.stages.bucketed import cached_ref
 
             c = cached_ref(c_ref)
-            mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+            mat = vec_matrix(t["embedding"])
             a = _assign_mat(mat, c)
             uids, inv = np.unique(a, return_inverse=True)
             sums = np.zeros((len(uids), mat.shape[1]), dtype=np.float64)
@@ -538,7 +552,7 @@ def kmeans_clusters(
         from datacat_ray.stages.bucketed import cached_ref
 
         c = cached_ref(final_ref)
-        mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        mat = vec_matrix(t["embedding"])
         return pa.Table.from_pydict(
             {
                 "vec_id": t["vec_id"],
