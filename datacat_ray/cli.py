@@ -150,12 +150,39 @@ def cmd_refeval(args) -> int:
     return 0
 
 
+def cmd_create_training(args) -> int:
+    """Export paired training-bootstrap files per input document — the
+    reference's ``createTrainingDatacatSegmentation`` workflow
+    (``EngineDatacat.java:166-330``): ``<stem>.training.datacat.tei.xml``
+    (pre-labeled zone TEI for human correction) +
+    ``<stem>.training.datacat`` (raw 33-field feature lines) under
+    ``OUT/tei`` and ``OUT/raw``, the reference's committed corpus layout."""
+    _init_ray(args.num_cpus)
+    from datacat_ray.pipelines.create_training import create_training_pairs
+
+    import ray.data as rd
+
+    pages = rd.read_parquet(
+        args.input, columns=["url", "warc_ts", "lang", "html", "text"]
+    )
+    manifest = create_training_pairs(pages, args.out)
+    rows = manifest.take_all()
+    n_err = sum(1 for r in rows if r["error"])
+    print(json.dumps({
+        "out": args.out,
+        "n_docs": len(rows),
+        "n_errors": n_err,
+        "n_lines": sum(r["n_lines"] for r in rows),
+    }))
+    return 0 if n_err == 0 else 1
+
+
 def cmd_commands(args) -> int:
     """List available commands + registered queries (the reflective
     usable-method listing of the reference CLI)."""
     from datacat_ray.pipelines.queries import build_oracle_sql, build_queries
 
-    print("commands: extract synth query commands")
+    print("commands: extract synth query create-training refeval commands")
     oracles = build_oracle_sql()
     for name in sorted(build_queries()):
         tag = "sql-oracle" if name in oracles else "rows-only"
@@ -197,6 +224,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--epochs", type=int, default=6)
     p.add_argument("--shards", type=int, default=1)
     p.set_defaults(fn=cmd_refeval)
+
+    p = sub.add_parser("create-training", help=cmd_create_training.__doc__)
+    p.add_argument("input")
+    p.add_argument("out")
+    p.set_defaults(fn=cmd_create_training)
 
     p = sub.add_parser("commands", help=cmd_commands.__doc__)
     p.set_defaults(fn=cmd_commands)
