@@ -112,6 +112,41 @@ TOKEN_COUNT_BPE_SQL = f"""
 """
 
 
+def token_counts(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, n_tokens, n_bpe_tokens): whitespace AND BPE-ish counts in
+    ONE pass — the registry consolidation of ``token_count`` +
+    ``token_count_bpe`` (both operators stay; one driver row covers both
+    so every oracled query fits the driver's query budget)."""
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def _batch(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(
+                    [len(ascii_tokens(x)) for x in texts], pa.int64()),
+                "n_bpe_tokens": pa.array(
+                    [len(_BPE_RE.findall(x or "")) for x in texts],
+                    pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_batch, batch_format="pyarrow")
+
+
+TOKEN_COUNTS_SQL = rf"""
+    SELECT doc_id,
+           len(list_filter(
+               regexp_split_to_array(coalesce(text, ''), '\s+'),
+               x -> x <> '')) AS n_tokens,
+           CAST(len(regexp_extract_all(coalesce(text, ''),
+                '{BPE_SPLIT_PATTERN.replace("'", "''")}')) AS BIGINT)
+               AS n_bpe_tokens
+    FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # text stats (SQL-checkable integer counts)
 # ---------------------------------------------------------------------------
@@ -533,6 +568,33 @@ TOP_BIGRAMS_SQL = r"""
 """
 
 
+def top_grams(sf_dir: str, k: int = 20) -> pa.Table:
+    """(gram, term, n): corpus top-k unigrams (gram=1) and bigrams (gram=2)
+    — the registry consolidation of ``top_terms`` + ``top_bigrams`` (both
+    combiner pipelines run; one driver row covers both)."""
+    u = top_terms(sf_dir, k)
+    b = top_bigrams(sf_dir, k)
+    return pa.Table.from_pydict(
+        {
+            "gram": pa.array(
+                [1] * u.num_rows + [2] * b.num_rows, pa.int64()),
+            "term": pa.concat_arrays(
+                [u["term"].combine_chunks(), b["bigram"].combine_chunks()]),
+            "n": pa.concat_arrays(
+                [u["n"].combine_chunks(), b["n"].combine_chunks()]),
+        }
+    )
+
+
+def top_grams_sql() -> str:
+    return f"""
+        SELECT CAST(1 AS BIGINT) AS gram, term, n FROM ({TOP_TERMS_SQL})
+        UNION ALL
+        SELECT CAST(2 AS BIGINT) AS gram, bigram AS term, n
+        FROM ({TOP_BIGRAMS_SQL})
+    """
+
+
 # ---------------------------------------------------------------------------
 # quality scoring
 # ---------------------------------------------------------------------------
@@ -801,6 +863,45 @@ def fingerprint(sf_dir: str) -> "ray.data.Dataset":
     return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         _fingerprint_batch, batch_format="pyarrow"
     )
+
+
+TEXT_STATS_SQL = r"""
+    SELECT doc_id,
+           length(text) AS n_chars_calc,
+           length(text) - length(regexp_replace(text, '[0-9]',    '', 'g')) AS n_digits,
+           length(text) - length(regexp_replace(text, '[A-Z]',    '', 'g')) AS n_upper,
+           length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct
+    FROM documents
+"""
+
+
+def doc_profile(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, n_chars_calc, n_digits, n_upper, n_punct, quality_micros,
+    fingerprint): the per-doc scalar profile — registry consolidation of
+    ``text_stats`` + ``quality_score_micros`` + ``fingerprint``. All three
+    kernels run in ONE pass over one narrow read (cheaper than three
+    separate reads, and one driver row covers all three operators)."""
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def _batch(t: pa.Table) -> pa.Table:
+        out = _text_stats_batch(t)
+        q = [quality_score_micros_value(x) for x in t["text"].to_pylist()]
+        fp = _fingerprint_batch(t)["fingerprint"]
+        return out.append_column(
+            "quality_micros", pa.array(q, pa.int64())
+        ).append_column("fingerprint", fp.combine_chunks())
+
+    return ds.map_batches(_batch, batch_format="pyarrow")
+
+
+def doc_profile_sql() -> str:
+    return f"""
+        SELECT t.doc_id, t.n_chars_calc, t.n_digits, t.n_upper, t.n_punct,
+               q.quality_micros, f.fingerprint
+        FROM ({TEXT_STATS_SQL}) t
+        JOIN ({quality_score_micros_sql()}) q USING (doc_id)
+        JOIN ({fingerprint_sql()}) f USING (doc_id)
+    """
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,54 @@
+"""Oracle parity for operators retired from the driver registry by the
+slot-50 budget (consolidated into token_counts / top_grams / doc_profile
+or redundant with a surviving entry). Retirement must not lose
+correctness coverage: every retired op is still compared against its
+DuckDB oracle here, at sf0.001, with the driver's compare semantics
+(sort columns by name, sort rows, exact values)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from datacat_ray.pipelines.queries import build_retired_oracles
+
+SF = "/root/testdata/sf0.001"
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def _to_df(res) -> pd.DataFrame:
+    if hasattr(res, "to_pandas") and not hasattr(res, "count"):
+        return res.to_pandas()  # pa.Table
+    if hasattr(res, "to_pandas"):
+        return res.to_pandas()  # Dataset
+    return pd.DataFrame(res)
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", sorted(build_retired_oracles()))
+def test_retired_op_matches_oracle(ray_session, con, name):
+    fn, sql = build_retired_oracles()[name]
+    got = _canon(_to_df(fn(SF)))
+    want = _canon(con.execute(sql).df())
+    assert list(got.columns) == list(want.columns), name
+    assert len(got) == len(want), name
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False, check_exact=True
+    )
