@@ -1,0 +1,170 @@
+"""Pure-Python uncompressed-DIB AVI (RIFF) codec — a REAL container format
+(Microsoft AVI with BI_RGB 24-bit frames: 'vids'/'DIB ' stream, '00db'
+movi chunks, bottom-up BGR rows padded to 4 bytes), readable by any
+standard player/ffprobe. Replaces the repo's earlier ad-hoc frame
+container so the video pipeline decodes a format that exists outside
+this repo. Written from the public AVI RIFF specification; no codec
+library involved (frames are uncompressed, which is exactly what the
+pipeline plumbing needs — a production deployment swaps the frame codec
+for ffmpeg/decord behind the same two functions).
+
+Surface:
+  encode_avi(frames, fps)          -> bytes      (frames: uint8 (h,w,3) RGB)
+  parse_avi_header(payload)        -> (n_frames, width, height, fps)
+  decode_avi_frame(payload, idx)   -> uint8 (h, w, 3) RGB
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_AVIH = struct.Struct("<IIIIIIIIII4I")  # 56-byte MainAVIHeader
+_STRH = struct.Struct("<4s4sIHHIIIIIIII4H")  # 56-byte AVIStreamHeader
+_BMIH = struct.Struct("<IiiHHIIiiII")  # 40-byte BITMAPINFOHEADER
+_AVIF_HASINDEX = 0x10
+_AVIIF_KEYFRAME = 0x10
+
+
+def _row_stride(w: int) -> int:
+    return (w * 3 + 3) & ~3  # BGR rows padded to 4 bytes
+
+
+def _frame_dib(frame: np.ndarray) -> bytes:
+    """uint8 (h, w, 3) RGB → bottom-up padded BGR plane (BI_RGB)."""
+    h, w, c = frame.shape
+    if c < 3:
+        raise ValueError("need RGB frames")
+    stride = _row_stride(w)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bgr = frame[::-1, :, 2::-1]  # flip rows (bottom-up) + RGB→BGR
+    out[:, : w * 3] = bgr.reshape(h, w * 3)
+    return out.tobytes()
+
+
+def encode_avi(frames: list, fps: int) -> bytes:
+    """Single-video-stream uncompressed AVI. All frames must share one
+    (h, w, 3) shape."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[0], frames[0].shape[1]
+    n = len(frames)
+    stride = _row_stride(w)
+    frame_size = stride * h
+
+    avih = b"avih" + struct.pack("<I", _AVIH.size) + _AVIH.pack(
+        int(round(1_000_000 / fps)),  # dwMicroSecPerFrame
+        frame_size * fps,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        _AVIF_HASINDEX,  # dwFlags
+        n,  # dwTotalFrames
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        frame_size,  # dwSuggestedBufferSize
+        w,
+        h,
+        0, 0, 0, 0,  # dwReserved
+    )
+    strh = b"strh" + struct.pack("<I", _STRH.size) + _STRH.pack(
+        b"vids", b"DIB ",
+        0,  # dwFlags
+        0, 0,  # wPriority, wLanguage
+        0,  # dwInitialFrames
+        1, fps,  # dwScale, dwRate → fps frames/sec
+        0,  # dwStart
+        n,  # dwLength (frames)
+        frame_size,  # dwSuggestedBufferSize
+        0xFFFFFFFF,  # dwQuality (-1 = default)
+        0,  # dwSampleSize (0: one sample per chunk)
+        0, 0, w, h,  # rcFrame
+    )
+    strf = b"strf" + struct.pack("<I", _BMIH.size) + _BMIH.pack(
+        _BMIH.size, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0
+    )
+    strl = b"LIST" + struct.pack("<I", 4 + len(strh) + len(strf)) + b"strl" \
+        + strh + strf
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(avih) + len(strl)) + b"hdrl" \
+        + avih + strl
+
+    movi_chunks = []
+    idx = []
+    offset = 4  # idx1 offsets are relative to the 'movi' fourcc
+    for f in frames:
+        if f.shape[:2] != (h, w):
+            raise ValueError("all frames must share one shape")
+        dib = _frame_dib(np.asarray(f, dtype=np.uint8))
+        movi_chunks.append(b"00db" + struct.pack("<I", len(dib)) + dib)
+        idx.append(struct.pack(
+            "<4sIII", b"00db", _AVIIF_KEYFRAME, offset, len(dib)))
+        offset += 8 + len(dib)
+    movi_body = b"".join(movi_chunks)
+    movi = b"LIST" + struct.pack("<I", 4 + len(movi_body)) + b"movi" \
+        + movi_body
+    idx1 = b"idx1" + struct.pack("<I", 16 * n) + b"".join(idx)
+
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _find_chunk(payload: bytes, pos: int, end: int, fourcc: bytes,
+                list_type: bytes | None = None) -> tuple[int, int]:
+    """Walk sibling chunks in [pos, end); return (data_start, data_size)
+    of the first match (for LIST chunks, matches on the list type and the
+    returned region EXCLUDES the 4-byte type)."""
+    while pos + 8 <= end:
+        ck = payload[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        data = pos + 8
+        if ck == fourcc and list_type is None:
+            return data, size
+        if ck == b"LIST" and list_type is not None \
+                and payload[data:data + 4] == list_type:
+            return data + 4, size - 4
+        pos = data + size + (size & 1)  # chunks are word-aligned
+    raise ValueError(f"chunk {fourcc!r}/{list_type!r} not found")
+
+
+def parse_avi_header(payload: bytes) -> tuple[int, int, int, int]:
+    """(n_frames, width, height, fps) from the avih/strh headers."""
+    if not payload or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    end = 12 + struct.unpack_from("<I", payload, 4)[0] - 4
+    hdrl, hsize = _find_chunk(payload, 12, end, b"LIST", b"hdrl")
+    avih, asize = _find_chunk(payload, hdrl, hdrl + hsize, b"avih")
+    vals = _AVIH.unpack_from(payload, avih)
+    n_frames, width, height = vals[4], vals[8], vals[9]
+    strl, ssize = _find_chunk(payload, hdrl, hdrl + hsize, b"LIST", b"strl")
+    strh, _ = _find_chunk(payload, strl, strl + ssize, b"strh")
+    s = _STRH.unpack_from(payload, strh)
+    scale, rate = s[6], s[7]
+    fps = int(round(rate / scale)) if scale else 0
+    return n_frames, width, height, fps
+
+
+def decode_avi_frame(payload: bytes, frame_idx: int) -> np.ndarray:
+    """Walk the movi list to the frame_idx-th '00db'/'00dc' chunk and
+    decode the BI_RGB plane back to uint8 (h, w, 3) RGB."""
+    n, w, h, _fps = parse_avi_header(payload)
+    if not 0 <= frame_idx < n:
+        raise ValueError("frame index out of range")
+    end = 12 + struct.unpack_from("<I", payload, 4)[0] - 4
+    movi, msize = _find_chunk(payload, 12, end, b"LIST", b"movi")
+    pos = movi
+    seen = 0
+    stride = _row_stride(w)
+    while pos + 8 <= movi + msize:
+        ck = payload[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if ck in (b"00db", b"00dc"):
+            if seen == frame_idx:
+                if size < stride * h:
+                    raise ValueError("truncated frame chunk")
+                plane = np.frombuffer(
+                    payload, dtype=np.uint8, count=stride * h, offset=pos + 8
+                ).reshape(h, stride)
+                bgr = plane[:, : w * 3].reshape(h, w, 3)
+                return bgr[::-1, :, ::-1].copy()  # bottom-up → top-down, BGR→RGB
+            seen += 1
+        pos += 8 + size + (size & 1)
+    raise ValueError("frame chunk missing from movi list")

@@ -6,9 +6,10 @@ small batches for wide binary rows, typed output schema).
 
 IMAGES are fully real: fixtures emit genuine PNG bytes and the decode
 stage inflates them with the pure-stdlib codec (``functions/png.py``) and
-derives pixel statistics (mean luma). Audio PCM / video frame decode
-remain clearly-marked STUB seams (no audio/video codec exists in this
-environment) around real plumbing.
+derives pixel statistics (mean luma). AUDIO is real stdlib WAV/PCM.
+VIDEO is a REAL container format: uncompressed-DIB AVI (RIFF), written
+and parsed by the pure-Python codec in ``functions/avi.py`` — only the
+compressed-codec swap (ffmpeg/decord) remains a documented seam.
 """
 
 from __future__ import annotations
@@ -313,27 +314,32 @@ class AudioFrameSampler:
 
 
 # ---------------------------------------------------------------------------
-# video: PNG-frame container (real per-frame decode), frame-sample stage
+# video: REAL uncompressed-DIB AVI container (RIFF), frame-sample stage
 # ---------------------------------------------------------------------------
 
-_VIDEO_MAGIC = b"DCV2"
-_VIDEO_HEADER = struct.Struct("<4sIIHH")  # magic, n_frames, w, h, fps
-# After the header: n_frames × (u32 length + PNG bytes). A real deployment
-# swaps this container parse + PNG decode for an ffmpeg/decord codec — the
-# frame-sampling plan, per-frame decode, and per-frame stats are the same
-# shape either way.
+# The payload is a standards-conformant Microsoft AVI ('vids'/'DIB ' BI_RGB
+# stream, functions/avi.py) — a format that exists outside this repo and
+# that ffprobe/any player reads. A production deployment swaps the
+# uncompressed frame plane for an ffmpeg/decord codec behind the same
+# decode_frame seam — the frame-sampling plan, per-frame decode, and
+# per-frame stats are the same shape either way.
+
+from datacat_ray.functions.avi import (  # noqa: E402 — section-local import
+    decode_avi_frame,
+    encode_avi,
+    parse_avi_header,
+)
 
 
 def make_fake_video(seed: int) -> bytes:
-    """Deterministic video payload: a header + every frame as a REAL PNG
-    (tiny frames, a moving gradient) so frame decode is exercised for
-    real."""
+    """Deterministic REAL AVI payload (tiny frames, a moving gradient) so
+    container parse + frame decode are exercised on a genuine format."""
     rng = np.random.RandomState((seed * 53 + 11) & 0x7FFFFFFF)
     fps = int(rng.choice([24, 25, 30]))
     n_frames = int(rng.randint(8, 25))
     w = h = 16
-    parts = [_VIDEO_HEADER.pack(_VIDEO_MAGIC, n_frames, w, h, fps)]
     base = rng.randint(0, 200)
+    frames = []
     for i in range(n_frames):
         x = np.linspace(0, 255, w)[None, :]
         y = np.linspace(0, 255, h)[:, None]
@@ -345,10 +351,8 @@ def make_fake_video(seed: int) -> bytes:
             ],
             axis=2,
         ).astype(np.uint8)
-        png = encode_png(arr)
-        parts.append(struct.pack("<I", len(png)))
-        parts.append(png)
-    return b"".join(parts)
+        frames.append(arr)
+    return encode_avi(frames, fps)
 
 
 class VideoFrameSampler:
@@ -363,19 +367,9 @@ class VideoFrameSampler:
 
     @staticmethod
     def decode_frame(payload: bytes, frame_idx: int) -> "np.ndarray":
-        """Container bytes + frame index → uint8 (h, w, c) pixels."""
-        if not payload or payload[:4] != _VIDEO_MAGIC:
-            raise ValueError("not a frame container")
-        _, n, _w, _h, _fps = _VIDEO_HEADER.unpack_from(payload)
-        if not 0 <= frame_idx < n:
-            raise ValueError("frame index out of range")
-        pos = _VIDEO_HEADER.size
-        for i in range(frame_idx + 1):
-            (ln,) = struct.unpack_from("<I", payload, pos)
-            if i == frame_idx:
-                return decode_png(payload[pos + 4 : pos + 4 + ln])
-            pos += 4 + ln
-        raise ValueError("truncated container")
+        """AVI bytes + frame index → uint8 (h, w, 3) RGB pixels (the
+        production seam: swap for an ffmpeg/decord call, same signature)."""
+        return decode_avi_frame(payload, frame_idx)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = {"doc_id": [], "width": [], "height": [], "fps": [],
@@ -385,9 +379,7 @@ class VideoFrameSampler:
                              batch["video"].to_pylist()):
             rows["doc_id"].append(doc_id)
             try:
-                if not p or p[:4] != _VIDEO_MAGIC:
-                    raise ValueError("bad magic")
-                _, n, w, h, fps = _VIDEO_HEADER.unpack_from(p)
+                n, w, h, fps = parse_avi_header(p)
                 step = max(1, int(self.sample_sec * fps))
                 sampled = list(range(0, n, step))
                 luma = []
