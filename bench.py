@@ -141,6 +141,19 @@ def run_headline(sf_dir: str) -> dict:
             res.count()
         timings[name] = round(time.time() - t0, 3)
 
+    # cold-number honesty: the minhash sig table is a fingerprinted parquet
+    # cache reused across runs; clear it so the timed run includes the
+    # signature build like every previous round's number did
+    import hashlib
+    import shutil
+    import tempfile
+
+    sig_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"datacat_sigs_{hashlib.sha1(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    shutil.rmtree(sig_dir, ignore_errors=True)
+
     docs, sec = run_extract(sf_dir, warmup=True)
     timings["extract_flagship"] = round(sec, 3)
     timed("pricing_summary", pricing_summary)
