@@ -629,6 +629,28 @@ def _lp_fold_factory(round_dir: str):
     return _fold
 
 
+def _lp_scatter_from(edges, round_dir: str):
+    """The next round's scatter input: static edges + the checkpointed
+    label table of ``round_dir`` (holder rows + Hash-to-Min label links),
+    bucketed by key."""
+    from datacat_ray.stages.bucketed import add_bucket
+
+    return (
+        edges.map_batches(_lp_edge_rows, batch_format="pyarrow")
+        .union(
+            ray.data.read_parquet(round_dir).map_batches(
+                _lp_label_rows, batch_format="pyarrow"
+            )
+        )
+        .map_batches(
+            lambda t: add_bucket(t, "key", _LP_BUCKETS),
+            batch_format="pyarrow",
+        )
+        .groupby("__bucket")
+        .map_groups(_lp_scatter, batch_format="pyarrow")
+    )
+
+
 def label_propagation_parquet(
     edges_path: str, work_dir: str, max_rounds: int = 64
 ) -> str | None:
@@ -637,8 +659,14 @@ def label_propagation_parquet(
     the converged (node, label) bucket-parquet table, or None for an empty
     edge list. Per round: one bucket exchange to gather labels and scatter
     proposals, one to fold minima and checkpoint the new label table to
-    parquet (resumable; each round reads only the previous round's files).
-    The driver holds one (bucket, n_changed) row per bucket per round."""
+    parquet. The driver holds one (bucket, n_changed) row per bucket per
+    round.
+
+    RESUMABLE: each completed round publishes a ``_ROUND_OK`` marker
+    carrying its changed-count; a re-run over the same ``work_dir`` (same
+    edge list) starts from the last complete round — a converged
+    checkpoint short-circuits entirely, an interrupted run (crash, or a
+    too-small ``max_rounds``) continues instead of restarting."""
     import os
     import shutil
 
@@ -646,9 +674,27 @@ def label_propagation_parquet(
 
     edges = ray.data.read_parquet(edges_path)
 
+    # resume scan: the latest round with a published marker is authoritative
+    start = 0
     rows = edges.map_batches(_lp_init_rows, batch_format="pyarrow")
     prev_dir: str | None = None
-    for r in range(max_rounds + 1):
+    if os.path.isdir(work_dir):
+        done = sorted(
+            d for d in os.listdir(work_dir)
+            if d.startswith("round-")
+            and os.path.exists(os.path.join(work_dir, d, "_ROUND_OK"))
+        )
+        if done:
+            last = os.path.join(work_dir, done[-1])
+            with open(os.path.join(last, "_ROUND_OK")) as fh:
+                last_changed = int(fh.read().strip())
+            if last_changed == 0:
+                return last
+            start = int(done[-1].rsplit("-", 1)[1]) + 1
+            prev_dir = last
+            rows = _lp_scatter_from(edges, last)
+
+    for r in range(start, max_rounds + 1):
         round_dir = os.path.join(work_dir, f"round-{r:03d}")
         shutil.rmtree(round_dir, ignore_errors=True)
         os.makedirs(round_dir, exist_ok=True)
@@ -664,25 +710,16 @@ def label_propagation_parquet(
         if not stats:  # no edges at all: every doc is a singleton
             return None
         changed = sum(s["n_changed"] for s in stats)
+        tmp = os.path.join(round_dir, "._ROUND_OK.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(str(changed))
+        os.replace(tmp, os.path.join(round_dir, "_ROUND_OK"))
         if prev_dir is not None:
             shutil.rmtree(prev_dir, ignore_errors=True)
         prev_dir = round_dir
         if changed == 0:
             return round_dir
-        rows = (
-            edges.map_batches(_lp_edge_rows, batch_format="pyarrow")
-            .union(
-                ray.data.read_parquet(round_dir).map_batches(
-                    _lp_label_rows, batch_format="pyarrow"
-                )
-            )
-            .map_batches(
-                lambda t: add_bucket(t, "key", _LP_BUCKETS),
-                batch_format="pyarrow",
-            )
-            .groupby("__bucket")
-            .map_groups(_lp_scatter, batch_format="pyarrow")
-        )
+        rows = _lp_scatter_from(edges, round_dir)
     raise RuntimeError(f"label propagation did not converge in {max_rounds} rounds")
 
 

@@ -94,6 +94,8 @@ def main() -> int:
 
     got: dict[int, int] = {}
     for f in sorted(os.listdir(lab_dir)):
+        if not f.endswith(".parquet"):
+            continue
         t = pq.read_table(os.path.join(lab_dir, f))
         got.update(zip(t["node"].to_numpy().tolist(),
                        t["label"].to_numpy().tolist()))

@@ -55,6 +55,8 @@ def _run_lp(tmp_path, edges: list[tuple[int, int]]) -> dict[int, int]:
     assert lab_dir is not None
     got: dict[int, int] = {}
     for f in sorted(os.listdir(lab_dir)):
+        if not f.endswith(".parquet"):
+            continue
         t = pq.read_table(os.path.join(lab_dir, f))
         got.update(zip(t["node"].to_pylist(), t["label"].to_pylist()))
     return got
@@ -143,3 +145,32 @@ def test_minhash_broadcast_overflow_falls_back_to_join(
     )
     assert via_join == base
     assert len(base) > 0
+
+
+def test_lp_resume_from_checkpoint(ray_session, tmp_path):
+    chain = [(i, i + 1) for i in range(0, 40)]  # needs several rounds
+    edir = str(tmp_path / "edges")
+    os.makedirs(edir, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pydict(
+            {"doc_a": pa.array([a for a, _ in chain], pa.int64()),
+             "doc_b": pa.array([b for _, b in chain], pa.int64())}
+        ),
+        os.path.join(edir, "part-0.parquet"),
+    )
+    work = str(tmp_path / "lp")
+    # interrupt: too-small round budget raises but leaves checkpoints
+    with pytest.raises(RuntimeError):
+        label_propagation_parquet(edir, work, max_rounds=1)
+    done = [d for d in os.listdir(work) if d.startswith("round-")]
+    assert done, "interrupted run must leave a checkpointed round"
+    # resume: picks up from the checkpoint and converges correctly
+    lab_dir = label_propagation_parquet(edir, work, max_rounds=64)
+    got: dict[int, int] = {}
+    for f in sorted(os.listdir(lab_dir)):
+        if f.endswith(".parquet"):
+            t = pq.read_table(os.path.join(lab_dir, f))
+            got.update(zip(t["node"].to_pylist(), t["label"].to_pylist()))
+    assert got == _uf_reference(chain)
+    # converged checkpoint short-circuits: same dir comes straight back
+    assert label_propagation_parquet(edir, work, max_rounds=64) == lab_dir
