@@ -165,7 +165,9 @@ def cmd_create_training(args) -> int:
     pages = rd.read_parquet(
         args.input, columns=["url", "warc_ts", "lang", "html", "text"]
     )
-    manifest = create_training_pairs(pages, args.out)
+    manifest = create_training_pairs(
+        pages, args.out, model=args.model, blank=args.blank
+    )
     rows = manifest.take_all()
     n_err = sum(1 for r in rows if r["error"])
     print(json.dumps({
@@ -228,6 +230,10 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("create-training", help=cmd_create_training.__doc__)
     p.add_argument("input")
     p.add_argument("out")
+    p.add_argument("--model", choices=["segmenter", "body"],
+                   default="segmenter")
+    p.add_argument("--blank", action="store_true",
+                   help="text-only TEI without tags (createTrainingBlank*)")
     p.set_defaults(fn=cmd_create_training)
 
     p = sub.add_parser("commands", help=cmd_commands.__doc__)

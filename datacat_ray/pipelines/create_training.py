@@ -38,9 +38,21 @@ import ray.data
 from datacat_ray.stages.crf import CRFDecoder, with_begin_prefix
 from datacat_ray.stages.dom import blocks_from_plain_text, parse_main_blocks
 from datacat_ray.stages.line_features import featurize_lines, serialize_features
-from datacat_ray.stages.models import SEGMENTER_MODEL
-from datacat_ray.stages.tei import assemble_segmenter_tei, doc_id
+from datacat_ray.stages.models import BODY_MODEL, SEGMENTER_MODEL
+from datacat_ray.stages.tei import (
+    _TEI_HEADER,
+    assemble_body_tei,
+    assemble_segmenter_tei,
+    body_label_runs,
+    doc_id,
+    html_encode,
+)
+from datacat_ray.stages.token_features import (
+    featurize_body_tokens,
+    serialize_token_features,
+)
 from datacat_ray.stages.tokenizer import tokenize_document
+from datacat_ray.stages.zones import decode_zones, zone_token_indices
 
 MANIFEST_SCHEMA = pa.schema(
     [
@@ -58,10 +70,19 @@ class TrainingExportStage:
     """Actor: DOM parse → tokenize → featurize → segmenter decode → write
     the TEI/raw pair. Decoder compiled once per actor (``__init__``)."""
 
-    def __init__(self, out_dir: str) -> None:
+    def __init__(self, out_dir: str, model: str = "segmenter",
+                 blank: bool = False) -> None:
         import os
 
+        if model not in ("segmenter", "body"):
+            raise ValueError(f"model must be segmenter|body, got {model!r}")
+        self.model = model
+        self.blank = blank
         self.seg = CRFDecoder(SEGMENTER_MODEL)
+        # the body variant runs the cascade's first level first (the
+        # reference's createTrainingBodySegmentation does the same:
+        # segmenter -> BODY zones -> body featurizer)
+        self.body = CRFDecoder(BODY_MODEL) if model == "body" else None
         self.tei_dir = os.path.join(out_dir, "tei")
         self.raw_dir = os.path.join(out_dir, "raw")
         os.makedirs(self.tei_dir, exist_ok=True)
@@ -75,6 +96,41 @@ class TrainingExportStage:
             fh.write(content)
         os.replace(tmp, path)
 
+    def _blank_segmenter_tei(self, url, lang, lines) -> str:
+        """Text-only TEI (no zone tags) — the createTrainingBlank form a
+        user tags from scratch for a brand-new model."""
+        body = "".join(
+            html_encode(ln["text"]) + "<lb/>\n" for ln in lines
+        )
+        return (
+            _TEI_HEADER
+            + "\t<teiHeader>\n"
+            + f'\t\t<fileDesc xml:id="{doc_id(url)}"/>\n'
+            + "\t</teiHeader>\n"
+            + f'\t<text xml:lang="{html_encode(lang or "fr")}">\n'
+            + body
+            + "\t</text>\n</tei>\n"
+        )
+
+    def _blank_body_tei(self, url, lang, tokens, body_ranges) -> str:
+        """Body token stream HTML-encoded, untagged (createTrainingBlankBody
+        semantics: 'just write the text without any label')."""
+        buf: list[str] = []
+        for a, b in body_ranges:
+            for t in range(a, b):
+                tok = tokens[t]
+                buf.append("<lb/>\n" if tok in ("\n", "\r", "\r\n")
+                           else html_encode(tok))
+        return (
+            _TEI_HEADER
+            + "\t<teiHeader>\n"
+            + f'\t\t<fileDesc xml:id="{doc_id(url)}"/>\n'
+            + "\t</teiHeader>\n"
+            + f'\t<text xml:lang="{html_encode(lang or "fr")}">\n'
+            + "".join(buf)
+            + "\n\t</text>\n</tei>\n"
+        )
+
     def _one(self, url, lang, html, text) -> tuple[str, str, str, int]:
         import os
 
@@ -84,17 +140,48 @@ class TrainingExportStage:
             blocks = blocks_from_plain_text(text)
         else:
             blocks = []
-        lines, _tokens, _token_line = tokenize_document(blocks)
+        lines, tokens, token_line = tokenize_document(blocks)
         feats = featurize_lines(lines)
         line_labels = with_begin_prefix(self.seg.decode(feats))
         stem = doc_id(url)
-        tei_path = os.path.join(
-            self.tei_dir, f"{stem}.training.datacat.tei.xml"
-        )
+
+        if self.model == "body":
+            # first cascade level routes to the BODY zones, exactly like
+            # the flagship (createTrainingBodySegmentation flow)
+            zones = decode_zones(line_labels, token_line, len(tokens))
+            body_ranges = zone_token_indices(zones, "<body>")
+            bfeats, idx = featurize_body_tokens(
+                tokens, token_line, lines, body_ranges
+            )
+            suffix = ".training.bodySegmentation.datacat.text"
+            raw_path = os.path.join(self.raw_dir, f"{stem}{suffix}")
+            if self.blank:
+                tei_path = os.path.join(
+                    self.tei_dir, f"{stem}{suffix}.blank.tei.xml")
+                tei = self._blank_body_tei(url, lang, tokens, body_ranges)
+            else:
+                tei_path = os.path.join(
+                    self.tei_dir, f"{stem}{suffix}.tei.xml")
+                entries = body_label_runs(self.body.decode(bfeats), idx)
+                tei = assemble_body_tei(url, lang, tokens, entries)
+            self._write_atomic(tei_path, tei)
+            self._write_atomic(
+                raw_path,
+                "\n".join(serialize_token_features(f) for f in bfeats)
+                + "\n",
+            )
+            return stem, tei_path, raw_path, len(bfeats)
+
+        if self.blank:
+            tei_path = os.path.join(
+                self.tei_dir, f"{stem}.training.datacat.blank.tei.xml")
+            tei = self._blank_segmenter_tei(url, lang, lines)
+        else:
+            tei_path = os.path.join(
+                self.tei_dir, f"{stem}.training.datacat.tei.xml")
+            tei = assemble_segmenter_tei(url, lang, lines, line_labels)
         raw_path = os.path.join(self.raw_dir, f"{stem}.training.datacat")
-        self._write_atomic(
-            tei_path, assemble_segmenter_tei(url, lang, lines, line_labels)
-        )
+        self._write_atomic(tei_path, tei)
         # the reference writes the serialized features plus one trailing
         # newline (DatacatSegmenterParser.java:692-694)
         self._write_atomic(
@@ -136,6 +223,8 @@ def create_training_pairs(
     concurrency: tuple[int, int] | int = (1, 8),
     batch_size: int = 64,
     dedup: bool = True,
+    model: str = "segmenter",
+    blank: bool = False,
 ) -> "ray.data.Dataset":
     """Manifest Dataset over the exported pairs. ``pages`` must carry
     (url, lang, html, text) — the flagship input schema. With ``dedup``
@@ -148,7 +237,8 @@ def create_training_pairs(
         pages = dedup_latest(pages, key="url", ts="warc_ts")
     return pages.map_batches(
         TrainingExportStage,
-        fn_constructor_kwargs={"out_dir": out_dir},
+        fn_constructor_kwargs={"out_dir": out_dir, "model": model,
+                               "blank": blank},
         concurrency=concurrency,
         batch_size=batch_size,
         batch_format="pyarrow",
