@@ -30,6 +30,20 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 
+def _host_burn() -> float:
+    """Single-thread calibration burn (~1-3 s quiet): 1500² matmul ×5.
+    Embedded in the bench JSON so every recorded number carries the host
+    contention context BASELINE.md's drift record keys off (the sandbox
+    VM's effective cores swing 4-32 on minute timescales)."""
+    import numpy as np
+
+    t0 = time.time()
+    a = np.random.RandomState(0).rand(1500, 1500)
+    for _ in range(5):
+        (a @ a).sum()
+    return round(time.time() - t0, 2)
+
+
 def _pages_path(sf_dir: str, repeat: int = 1) -> str:
     """Materialize the bench page table once per (sf_dir, repeat)
     (deterministic wrap of the documents table into the Common-Crawl page
@@ -232,6 +246,7 @@ def main() -> None:
             "docs": r_hi["docs"],
             "trials": args.trials,
             "all_round_efficiencies": [round(e, 4) for e, _, _ in rounds],
+            "host_burn_sec": _host_burn(),
         }))
         return
 
@@ -260,6 +275,7 @@ def main() -> None:
         "extract_docs_per_sec": round(
             res["extract_docs"] / res["extract_sec"], 2
         ) if res["extract_sec"] else 0.0,
+        "host_burn_sec": _host_burn(),
     }))
     ray.shutdown()
 
