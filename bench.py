@@ -157,16 +157,13 @@ def run_headline(sf_dir: str) -> dict:
 
     # cold-number honesty: the minhash sig table is a fingerprinted parquet
     # cache reused across runs; clear it so the timed run includes the
-    # signature build like every previous round's number did
-    import hashlib
+    # signature build like every previous round's number did (path comes
+    # from the ONE place the scheme lives, so it can't silently drift)
     import shutil
-    import tempfile
 
-    sig_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"datacat_sigs_{hashlib.sha1(sf_dir.encode()).hexdigest()[:12]}",
-    )
-    shutil.rmtree(sig_dir, ignore_errors=True)
+    from datacat_ray.pipelines.dedup_ops import minhash_sig_cache_dir
+
+    shutil.rmtree(minhash_sig_cache_dir(sf_dir), ignore_errors=True)
 
     docs, sec = run_extract(sf_dir, warmup=True)
     timings["extract_flagship"] = round(sec, 3)

@@ -372,6 +372,18 @@ def _fetch_candidate_values(
 _SIG_MARKER = "_SIGS_OK_v1"
 
 
+def minhash_sig_cache_dir(sf_dir: str) -> str:
+    """Default on-disk location of the sig cache for ``sf_dir`` — the ONE
+    place the path scheme lives (bench.py clears it through this helper, so
+    a scheme change can never silently turn its cold numbers warm)."""
+    import hashlib
+    import os
+    import tempfile
+
+    digest = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"datacat_sigs_{digest}")
+
+
 def minhash_sigs_parquet(sf_dir: str, sig_dir: str | None = None) -> str:
     """Write the (doc_id, sig) MinHash signature table to parquet ONCE per
     input fingerprint and return the data directory — "write sigs once,
@@ -391,8 +403,7 @@ def minhash_sigs_parquet(sf_dir: str, sig_dir: str | None = None) -> str:
 
     src = f"{sf_dir}/documents.parquet"
     if sig_dir is None:
-        digest = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
-        sig_dir = os.path.join(tempfile.gettempdir(), f"datacat_sigs_{digest}")
+        sig_dir = minhash_sig_cache_dir(sf_dir)
     data_dir = os.path.join(sig_dir, "data")
     fp = input_fingerprint(src)
     marker = os.path.join(sig_dir, _SIG_MARKER)
@@ -694,7 +705,7 @@ def label_propagation_parquet(
             prev_dir = last
             rows = _lp_scatter_from(edges, last)
 
-    for r in range(start, max_rounds + 1):
+    for r in range(start, max_rounds):
         round_dir = os.path.join(work_dir, f"round-{r:03d}")
         shutil.rmtree(round_dir, ignore_errors=True)
         os.makedirs(round_dir, exist_ok=True)
@@ -733,16 +744,24 @@ def _label_bucket_map(lab_dir: str, b: int) -> dict[int, int]:
     global _LP_CACHE
     if not isinstance(_LP_CACHE, OrderedDict):
         _LP_CACHE = OrderedDict(_LP_CACHE)
-    key = (lab_dir, b)
+    f = os.path.join(lab_dir, f"bucket-{b:05d}.parquet")
+    # key carries the file identity (mtime_ns, size): a long-lived worker
+    # must never serve a previous run's labels when the same path is
+    # rebuilt with different data
+    try:
+        st = os.stat(f)
+        ident = (st.st_mtime_ns, st.st_size)
+    except FileNotFoundError:
+        ident = None
+    key = (lab_dir, b, ident)
     d = _LP_CACHE.get(key)
     if d is not None:
         _LP_CACHE.move_to_end(key)
         return d
     import pyarrow.parquet as pq
 
-    f = os.path.join(lab_dir, f"bucket-{b:05d}.parquet")
     d = {}
-    if os.path.exists(f):
+    if ident is not None:
         t = pq.read_table(f)
         d = dict(zip(t["node"].to_numpy().tolist(),
                      t["label"].to_numpy().tolist()))
@@ -757,6 +776,7 @@ def neardup_clusters(
     threshold: float = 0.7,
     mode: str = "auto",
     work_dir: str | None = None,
+    resume: bool = False,
 ) -> "ray.data.Dataset":
     """(doc_id, cluster_id) for EVERY doc: connected components over the
     MinHash near-dup pair graph, cluster_id = min doc_id in the component;
@@ -771,7 +791,11 @@ def neardup_clusters(
     assignment via a map-only pass reading the converged label buckets
     through a per-worker LRU -- the 10^12-doc path, pinned equal to the
     driver path in tests (test_neardup_lp). ``"auto"`` switches on the
-    pair count (``_UF_MAX_PAIRS``).
+    pair count (``_UF_MAX_PAIRS``). ``resume=True`` keeps the existing
+    ``work_dir`` checkpoints (edge list + ``_ROUND_OK`` rounds) so a
+    crashed distributed run continues instead of restarting; the default
+    clears them through the content-guarded ``clear_cache_dir``, never a
+    blind rmtree of a caller path.
 
     Hot-bucket caveat: star-capped buckets (>MAX_BUCKET) only stay
     connected through star links whose signature Jaccard ALSO clears the
@@ -790,18 +814,34 @@ def neardup_clusters(
     if mode == "distributed":
         import hashlib
         import os
-        import shutil
         import tempfile
+
+        from datacat_ray.stages.dedup import clear_cache_dir
 
         if work_dir is None:
             digest = hashlib.sha1(
                 f"{sf_dir}:{threshold}".encode()
             ).hexdigest()[:12]
             work_dir = os.path.join(tempfile.gettempdir(), f"datacat_lp_{digest}")
-        shutil.rmtree(work_dir, ignore_errors=True)
         edges_path = os.path.join(work_dir, "edges")
-        os.makedirs(edges_path, exist_ok=True)
-        pairs.select_columns(["doc_a", "doc_b"]).write_parquet(edges_path)
+        if resume:
+            # keep checkpoints; only the edge list is rebuilt if missing
+            os.makedirs(edges_path, exist_ok=True)
+            if not any(f.endswith(".parquet")
+                       for f in os.listdir(edges_path)):
+                pairs.select_columns(["doc_a", "doc_b"]).write_parquet(
+                    edges_path)
+        else:
+            if os.path.isdir(work_dir):
+                # refuse to clear anything that is not LP artifacts — a
+                # blind rmtree of a caller-supplied path is how unrelated
+                # data gets destroyed (same guard as every other cache dir)
+                clear_cache_dir(
+                    work_dir,
+                    lambda f: f == "edges" or f.startswith("round-"),
+                )
+            os.makedirs(edges_path, exist_ok=True)
+            pairs.select_columns(["doc_a", "doc_b"]).write_parquet(edges_path)
         lab_dir = label_propagation_parquet(edges_path, work_dir)
 
         def _assign_lp(t: pa.Table) -> pa.Table:

@@ -394,7 +394,7 @@ class VideoFrameSampler:
                 rows["sampled_frames"].append(sampled)
                 rows["frame_luma"].append(luma)
                 rows["valid"].append(True)
-            except (ValueError, zlib.error, struct.error):
+            except (ValueError, struct.error):
                 rows["width"].append(0)
                 rows["height"].append(0)
                 rows["fps"].append(0)

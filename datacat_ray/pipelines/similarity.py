@@ -29,6 +29,10 @@ def vec_matrix(col) -> np.ndarray:
     n = len(arr)
     if n == 0:
         return np.zeros((0, 0), dtype=np.float64)
+    if arr.null_count:
+        # flatten() drops null slots, which would silently misalign the
+        # reshape — fail loudly like the old to_pylist path did
+        raise ValueError(f"vector column has {arr.null_count} null rows")
     v = arr.flatten().to_numpy(zero_copy_only=False)
     return v.astype(np.float64, copy=False).reshape(n, -1)
 

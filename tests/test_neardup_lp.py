@@ -174,3 +174,14 @@ def test_lp_resume_from_checkpoint(ray_session, tmp_path):
     assert got == _uf_reference(chain)
     # converged checkpoint short-circuits: same dir comes straight back
     assert label_propagation_parquet(edir, work, max_rounds=64) == lab_dir
+
+
+def test_neardup_distributed_refuses_foreign_work_dir(ray_session, tmp_path):
+    work = tmp_path / "lp"
+    work.mkdir()
+    (work / "precious_data.txt").write_text("do not delete")
+    with pytest.raises(ValueError, match="refusing to clear"):
+        neardup_clusters(
+            SF, mode="distributed", work_dir=str(work)
+        ).take_all()
+    assert (work / "precious_data.txt").exists()

@@ -19,11 +19,8 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 
 
 def _to_df(res) -> pd.DataFrame:
-    if hasattr(res, "to_pandas") and not hasattr(res, "count"):
-        return res.to_pandas()  # pa.Table
-    if hasattr(res, "to_pandas"):
-        return res.to_pandas()  # Dataset
-    return pd.DataFrame(res)
+    # pa.Table and ray Dataset both expose to_pandas()
+    return res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
