@@ -141,10 +141,14 @@ def cmd_refeval(args) -> int:
             return 2
         _, report = reference_body_wapiti_eval()
     elif args.model == "body":
-        _, report = reference_body_train_eval(epochs=args.epochs)
+        _, report = reference_body_train_eval(
+            epochs=args.epochs, trainer=args.trainer
+        )
     else:
         _, report = reference_train_eval(
-            train_docs=args.train_docs, epochs=args.epochs, shards=args.shards
+            train_docs=args.train_docs, epochs=args.epochs,
+            shards=args.shards, trainer=args.trainer,
+            max_iter=args.max_iter,
         )
     print(report)
     return 0
@@ -225,6 +229,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--train-docs", type=int, default=120)
     p.add_argument("--epochs", type=int, default=6)
     p.add_argument("--shards", type=int, default=1)
+    p.add_argument("--trainer", choices=["perceptron", "crf"],
+                   default="perceptron",
+                   help="crf = OWL-QN elastic-net CRF, the reference's "
+                        "actual estimator family (stages/crf_train.py)")
+    p.add_argument("--max-iter", type=int, default=1000,
+                   help="CRF trainer iteration cap (reference yaml default)")
     p.set_defaults(fn=cmd_refeval)
 
     p = sub.add_parser("create-training", help=cmd_create_training.__doc__)

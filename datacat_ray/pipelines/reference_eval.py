@@ -128,10 +128,16 @@ def load_body_template():
     return parse_crfpp_template(open(path).read(), BODY_FIELDS)
 
 
-def reference_body_train_eval(epochs: int = 6) -> tuple[pa.Table, str]:
+def reference_body_train_eval(
+    epochs: int = 6, trainer: str = "perceptron"
+) -> tuple[pa.Table, str]:
     """Body-segmentation counterpart of ``reference_train_eval`` (14 train
     + 3 eval committed pairs; reference committed micro-F1 22–86 across
-    corpus variants)."""
+    corpus variants). ``trainer="crf"`` uses the reference's actual
+    estimator family — OWL-QN elastic-net CRF (``stages/crf_train.py``) —
+    instead of the perceptron; measured eval accuracy 97.88, exactly the
+    accuracy of decoding with the reference's own shipped Wapiti weights
+    (``reference_body_wapiti_eval``)."""
     import ray.data
 
     from datacat_ray.pipelines.training import eval_metrics, format_eval_report
@@ -140,7 +146,13 @@ def reference_body_train_eval(epochs: int = 6) -> tuple[pa.Table, str]:
     templates = load_body_template()
     train = load_body_pairs("corpus")
     seqs = [(expand_sequence(f, templates), g) for _, f, g in train]
-    w, trans = _train_shard(seqs, BODY_LABELS, {}, {}, epochs_per_round=epochs)
+    if trainer == "crf":
+        from datacat_ray.stages.crf_train import train_crf_lbfgs
+
+        w, trans = train_crf_lbfgs(seqs, BODY_LABELS, max_iter=150, shards=8)
+    else:
+        w, trans = _train_shard(seqs, BODY_LABELS, {}, {},
+                                epochs_per_round=epochs)
     golds: list[str] = []
     preds: list[str] = []
     for _, feats, gold in load_body_pairs("evaluation"):
@@ -232,7 +244,8 @@ def nfold_eval(
 
 
 def reference_train_eval(
-    train_docs: int = 120, epochs: int = 6, shards: int = 1
+    train_docs: int = 120, epochs: int = 6, shards: int = 1,
+    trainer: str = "perceptron", max_iter: int = 1000,
 ) -> tuple[pa.Table, str]:
     """Train on the first ``train_docs`` aligned corpus documents, evaluate
     on the committed evaluation split. Returns (metrics table, eval.txt-
@@ -246,7 +259,13 @@ def reference_train_eval(
     few per-shard updates, so sequential is both better and fast enough
     (measured: mixing 4×3 epochs collapsed to the majority class; one
     sequential pass reaches eval accuracy 0.88 vs the reference's
-    committed 0.86–0.88 band)."""
+    committed 0.86–0.88 band).
+
+    ``trainer="crf"`` trains with the reference's actual estimator family
+    instead: OWL-QN elastic-net CRF (``stages/crf_train.py``) under the
+    reference's hyperparameter scheme (epsilon/window/max-iterations,
+    ``grobid-datacat.yaml:17-20``); ``epochs``/``shards`` are then
+    ignored (the CRF shard count is fixed internally)."""
     import ray.data
 
     from datacat_ray.pipelines.training import eval_metrics, format_eval_report
@@ -260,7 +279,12 @@ def reference_train_eval(
     templates = load_reference_template()
     train = load_pairs("corpus", limit=train_docs)
     seqs = [(expand_sequence(f, templates), g) for _, f, g in train]
-    if shards <= 1:
+    if trainer == "crf":
+        from datacat_ray.stages.crf_train import train_crf_lbfgs
+
+        w, trans = train_crf_lbfgs(seqs, SEG_LABELS, max_iter=max_iter,
+                                   shards=12)
+    elif shards <= 1:
         w, trans = _train_shard(seqs, SEG_LABELS, {}, {},
                                 epochs_per_round=epochs)
     else:

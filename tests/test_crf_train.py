@@ -1,0 +1,147 @@
+"""L-BFGS/OWL-QN CRF trainer: gradient correctness (finite differences),
+convergence on a separable task, L1 sparsity, determinism, and interop
+with the dict-weight Viterbi decoder."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from datacat_ray.stages.crf_train import (
+    _pseudo_gradient,
+    _seq_nll_grad,
+    _shard_value_grad,
+    _shard_value_grad_ref,
+    index_sequences,
+    to_dict_weights,
+    train_crf_lbfgs,
+)
+from datacat_ray.stages.train import _viterbi
+
+
+def _tiny_problem(rng, n=7, K=3, F=12, L=3):
+    feats = rng.integers(0, F, size=(n, K)).astype(np.int32)
+    gold = rng.integers(0, L, size=n).astype(np.int32)
+    return feats, gold
+
+
+def test_gradient_matches_finite_differences():
+    rng = np.random.default_rng(7)
+    F, L = 12, 3
+    feats, gold = _tiny_problem(rng, F=F, L=L)
+    x = rng.normal(scale=0.3, size=F * L + L * L)
+
+    _, g = _shard_value_grad(x, [(feats, gold)], F, L, want_grad=True)
+    g = g.astype(np.float64)
+    eps = 1e-6
+    idxs = list(range(0, F * L + L * L, 5)) + [F * L + 1, F * L + L * L - 1]
+    for i in idxs:
+        xp, xm = x.copy(), x.copy()
+        xp[i] += eps
+        xm[i] -= eps
+        fp, _ = _shard_value_grad(xp, [(feats, gold)], F, L, want_grad=False)
+        fm, _ = _shard_value_grad(xm, [(feats, gold)], F, L, want_grad=False)
+        num = (fp - fm) / (2 * eps)
+        assert abs(num - g[i]) < 1e-4, (i, num, g[i])
+
+
+def test_batched_kernel_matches_logspace_reference():
+    """The hot batched scaled-FB kernel must agree with the per-sequence
+    log-space implementation on a ragged multi-sequence shard."""
+    rng = np.random.default_rng(11)
+    F, L, K = 40, 5, 4
+    shard = []
+    for n in (1, 2, 9, 17, 17, 30):
+        feats = rng.integers(0, F, size=(n, K)).astype(np.int32)
+        gold = rng.integers(0, L, size=n).astype(np.int32)
+        shard.append((feats, gold))
+    x = rng.normal(scale=0.7, size=F * L + L * L)
+    f_ref, g_ref = _shard_value_grad_ref(x, shard, F, L, True)
+    f_new, g_new = _shard_value_grad(x, shard, F, L, True)
+    assert f_new == pytest.approx(f_ref, rel=1e-10)
+    np.testing.assert_allclose(
+        g_new.astype(np.float64), g_ref.astype(np.float64), atol=1e-3
+    )
+    f_only, none = _shard_value_grad(x, shard, F, L, False)
+    assert f_only == pytest.approx(f_ref, rel=1e-10) and none is None
+
+
+def test_nll_is_proper_negative_log_prob():
+    # single-position, single-feature: NLL must equal log-softmax form
+    F, L = 2, 2
+    W = np.array([[2.0, 0.0], [0.0, 0.0]])
+    T = np.zeros((L, L))
+    feats = np.array([[0]], dtype=np.int32)
+    gold = np.array([0], dtype=np.int32)
+    nll = _seq_nll_grad(W, T, feats, gold, None, None)
+    expect = -np.log(np.exp(2.0) / (np.exp(2.0) + 1.0))
+    assert abs(nll - expect) < 1e-12
+
+
+def test_pseudo_gradient_kinks():
+    x = np.array([1.0, -1.0, 0.0, 0.0, 0.0])
+    g = np.array([0.1, 0.1, 2.0, -2.0, 0.1])
+    pg = _pseudo_gradient(x, g, rho1=0.5)
+    assert pg[0] == pytest.approx(0.6)   # x>0: g + rho1
+    assert pg[1] == pytest.approx(-0.4)  # x<0: g - rho1
+    assert pg[2] == pytest.approx(1.5)   # at 0, g-rho1 > 0
+    assert pg[3] == pytest.approx(-1.5)  # at 0, g+rho1 < 0
+    assert pg[4] == 0.0                  # inside the subgradient interval
+
+
+def _toy_corpus():
+    """Label == deterministic function of the observation, plus a
+    transition-dependent case, so both W and T must be learned."""
+    seqs = []
+    pats = [
+        (["a", "b", "a", "b", "c"], ["X", "Y", "X", "Y", "Z"]),
+        (["b", "a", "c", "c", "a"], ["Y", "X", "Z", "Z", "X"]),
+        (["c", "c", "b", "a", "a"], ["Z", "Z", "Y", "X", "X"]),
+    ]
+    for obs, gold in pats:
+        fseq = [[f"u:{o}", f"p:{p}"] for o, p in
+                zip(obs, ["_B_"] + obs[:-1])]
+        seqs.append((fseq, gold))
+    return seqs, ["X", "Y", "Z"]
+
+
+def test_train_separable_to_perfect_accuracy(ray_session):
+    seqs, labels = _toy_corpus()
+    w, trans = train_crf_lbfgs(seqs, labels, rho1=0.0, rho2=1e-3,
+                               max_iter=100, shards=2)
+    for fseq, gold in seqs:
+        assert _viterbi(fseq, labels, w, trans) == gold
+
+
+def test_l1_yields_sparse_model_and_still_decodes(ray_session):
+    seqs, labels = _toy_corpus()
+    w_dense, _ = train_crf_lbfgs(seqs, labels, rho1=0.0, rho2=1e-3,
+                                 max_iter=100, shards=1)
+    w_sparse, trans = train_crf_lbfgs(seqs, labels, rho1=0.3, rho2=1e-4,
+                                      max_iter=200, shards=1)
+    n_dense = sum(len(lw) for lw in w_dense.values())
+    n_sparse = sum(len(lw) for lw in w_sparse.values())
+    assert n_sparse < n_dense
+    for fseq, gold in seqs:
+        assert _viterbi(fseq, labels, w_sparse, trans) == gold
+
+
+def test_determinism(ray_session):
+    seqs, labels = _toy_corpus()
+    a = train_crf_lbfgs(seqs, labels, rho1=0.1, max_iter=40, shards=2)
+    b = train_crf_lbfgs(seqs, labels, rho1=0.1, max_iter=40, shards=2)
+    assert a == b
+
+
+def test_index_and_export_roundtrip():
+    seqs, labels = _toy_corpus()
+    indexed, vocab = index_sequences(seqs, labels)
+    assert len(indexed) == len(seqs)
+    assert indexed[0][0].shape == (5, 2)
+    W = np.zeros((len(vocab), len(labels)))
+    W[vocab.index("u:a"), 0] = 1.5
+    T = np.zeros((3, 3))
+    T[0, 1] = -0.25
+    w, trans = to_dict_weights(W, T, vocab, labels)
+    assert w == {"u:a": {"X": 1.5}}
+    assert trans == {("X", "Y"): -0.25}
