@@ -86,6 +86,7 @@ def cmd_extract(args) -> int:
         args.input, args.out,
         fragments_per_part=args.fragments_per_part,
         dedup=not args.no_dedup,
+        tei_coordinates=args.tei_coordinates,
     )
     print(json.dumps(summary))
     return 0
@@ -209,6 +210,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("out")
     p.add_argument("--fragments-per-part", type=int, default=1)
     p.add_argument("--no-dedup", action="store_true")
+    p.add_argument("--tei-coordinates", action="store_true",
+                   help="annotate TEI zone/entry elements with char-span "
+                        "coords into the extracted text (the web analogue "
+                        "of the reference's -teiCoordinates)")
     p.set_defaults(fn=cmd_extract)
 
     p = sub.add_parser("synth", help=cmd_synth.__doc__)

@@ -34,6 +34,11 @@ class PipelineConfig:
     # -1 = unbounded, matching the reference convention.
     start_page: int = -1
     end_page: int = -1
+    # -teiCoordinates analogue (GrobidDatacatMainArgs.java; geometry fields
+    # on EntryItem.java:20-31): the web input schema has no PDF geometry,
+    # so zone/entry TEI elements carry char-span coords="start,end" into
+    # the byte-identity extracted text instead
+    tei_coordinates: bool = False
     # stage knobs
     dom: StageConfig = field(default_factory=lambda: StageConfig(batch_size=128))
     tokenize: StageConfig = field(default_factory=lambda: StageConfig(batch_size=128))

@@ -41,6 +41,7 @@ from datacat_ray.stages.models import BODY_MODEL, LEXICAL_MODEL, SEGMENTER_MODEL
 from datacat_ray.stages.tei import (
     assemble_body_tei,
     assemble_segmenter_tei,
+    token_char_offsets,
     body_label_runs,
     extracted_text,
 )
@@ -112,6 +113,7 @@ class FusedExtractStage:
         max_blocks: int = 3_000,
         start_page: int = -1,
         end_page: int = -1,
+        tei_coordinates: bool = False,
     ) -> None:
         self.seg = CRFDecoder(SEGMENTER_MODEL)
         self.body = CRFDecoder(BODY_MODEL)
@@ -120,6 +122,9 @@ class FusedExtractStage:
         self.max_blocks = max_blocks
         self.start_page = start_page
         self.end_page = end_page
+        # -teiCoordinates analogue (GrobidDatacatMainArgs.java): zone/entry
+        # elements carry char-span coords into the extracted text
+        self.tei_coordinates = tei_coordinates
 
     def _lexical_spans(self, tokens: list[str], entries: list[dict]) -> list[dict]:
         """Third cascade level: label the tokens of each ``<entry>`` run
@@ -162,11 +167,17 @@ class FusedExtractStage:
         bfeats, idx = featurize_body_tokens(tokens, token_line, lines, body_ranges)
         entries = body_label_runs(self.body.decode(bfeats), idx)
         lexical = self._lexical_spans(tokens, entries)
+        if self.tei_coordinates:
+            offs = token_char_offsets(tokens)
+            seg_coords = [(offs[z["start"]], offs[z["end"]]) for z in zones]
+            body_coords = [(offs[r["start"]], offs[r["end"]]) for r in entries]
+        else:
+            seg_coords = body_coords = None
         return (
             extracted_text(tokens),
             unwrapped_text(lines),
-            assemble_segmenter_tei(url, lang, lines, line_labels),
-            assemble_body_tei(url, lang, tokens, entries),
+            assemble_segmenter_tei(url, lang, lines, line_labels, seg_coords),
+            assemble_body_tei(url, lang, tokens, entries, body_coords),
             zones,
             entries,
             lexical,
@@ -299,6 +310,7 @@ def _fused_task(
     max_blocks: int,
     start_page: int = -1,
     end_page: int = -1,
+    tei_coordinates: bool = False,
 ) -> pa.Table:
     """Task-mode wrapper around ``FusedExtractStage`` with a per-WORKER-
     PROCESS stage cache: the decoders compile once per worker (Ray reuses
@@ -311,12 +323,12 @@ def _fused_task(
     (``execution="actors"``) is the right choice only when per-actor state
     is expensive — multi-GB model weights, a remote connection — which is
     exactly what ``FusedExtractStage.__init__`` models."""
-    key = (max_tokens, max_blocks, start_page, end_page)
+    key = (max_tokens, max_blocks, start_page, end_page, tei_coordinates)
     st = _TASK_STAGE_CACHE.get(key)
     if st is None:
         _TASK_STAGE_CACHE.clear()
         st = _TASK_STAGE_CACHE[key] = FusedExtractStage(
-            max_tokens, max_blocks, start_page, end_page
+            max_tokens, max_blocks, start_page, end_page, tei_coordinates
         )
     return st(batch)
 
@@ -343,6 +355,7 @@ def build_extract_pipeline(
             fn_constructor_kwargs={
                 "max_tokens": cfg.max_tokens, "max_blocks": cfg.max_blocks,
                 "start_page": cfg.start_page, "end_page": cfg.end_page,
+                "tei_coordinates": cfg.tei_coordinates,
             },
             batch_format="pyarrow",
             batch_size=cfg.segmenter.batch_size,
@@ -355,6 +368,7 @@ def build_extract_pipeline(
         functools.partial(
             _fused_task, max_tokens=cfg.max_tokens, max_blocks=cfg.max_blocks,
             start_page=cfg.start_page, end_page=cfg.end_page,
+            tei_coordinates=cfg.tei_coordinates,
         ),
         batch_format="pyarrow",
         batch_size=cfg.segmenter.batch_size,

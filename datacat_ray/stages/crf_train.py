@@ -382,8 +382,12 @@ def train_crf_lbfgs(
 
 def _optimize(workers, vocab, labels, dim, n_feat, n_lab, rho1, rho2,
               epsilon, window, max_iter, history, verbose):
+    import time as _time
+
+    n_evals = [0]
 
     def evaluate(x: np.ndarray, want_grad: bool) -> tuple[float, np.ndarray | None]:
+        n_evals[0] += 1
         xref = ray.put(x)
         parts = ray.get([
             wk.value_grad.remote(xref, want_grad) for wk in workers
@@ -401,6 +405,7 @@ def _optimize(workers, vocab, labels, dim, n_feat, n_lab, rho1, rho2,
     def phi(f_smooth: float, x: np.ndarray) -> float:
         return f_smooth + rho1 * float(np.abs(x).sum())
 
+    t_start = _time.time()
     x = np.zeros(dim)
     f, g = evaluate(x, True)
     obj = phi(f, x)
@@ -469,7 +474,9 @@ def _optimize(workers, vocab, labels, dim, n_feat, n_lab, rho1, rho2,
         obj_hist.append(obj)
         if verbose:
             nnz = int(np.count_nonzero(x))
-            print(f"[owlqn] it={it + 1} obj={obj:.4f} nnz={nnz}/{dim}")
+            print(f"[owlqn] it={it + 1} obj={obj:.4f} nnz={nnz}/{dim} "
+                  f"evals={n_evals[0]} t={_time.time() - t_start:.0f}s",
+                  flush=True)
         # Wapiti-style windowed relative-improvement stop
         if len(obj_hist) > window:
             prev = obj_hist[-window - 1]

@@ -47,10 +47,39 @@ def extracted_text(tokens: list[str]) -> str:
     return "".join(tokens)
 
 
+def token_char_offsets(tokens: list[str]) -> list[int]:
+    """Prefix char offsets of each token inside the flat extracted text
+    (the S9 concatenation): ``offs[i]`` is where token ``i`` starts,
+    ``offs[n]`` the total length. Token-span coordinates map to char-span
+    coordinates through this table."""
+    offs = [0] * (len(tokens) + 1)
+    p = 0
+    for i, t in enumerate(tokens):
+        offs[i] = p
+        p += len(t)
+    offs[len(tokens)] = p
+    return offs
+
+
+def _coords_attr(coords, k) -> str:
+    """S12'-style ``coords`` attribute — the web analogue of the
+    reference's ``-teiCoordinates`` option (``GrobidDatacatMainArgs.java``;
+    geometry fields on ``EntryItem.java:20-31``): the input schema has no
+    PDF geometry, so coordinates are char spans ``"start,end"`` into the
+    byte-identity extracted text (half-open)."""
+    if coords is None:
+        return ""
+    s, e = coords[k]
+    return f' coords="{s},{e}"'
+
+
 def assemble_segmenter_tei(
-    url: str, lang: str | None, lines: list[dict], line_labels: list[str]
+    url: str, lang: str | None, lines: list[dict], line_labels: list[str],
+    coords: list[tuple[int, int]] | None = None,
 ) -> str:
-    """Zone-tagged TEI over labeled lines."""
+    """Zone-tagged TEI over labeled lines. ``coords`` (optional, one per
+    label run — the order ``decode_zones`` emits) adds char-span
+    coordinate attributes; see ``_coords_attr``."""
     lang = lang or _DEFAULT_LANG
     parts = [
         _TEI_HEADER,
@@ -59,12 +88,14 @@ def assemble_segmenter_tei(
         "\t</teiHeader>\n",
         f'\t<text xml:lang="{html_encode(lang)}">\n',
     ]
-    for label, a, b in line_runs(line_labels):
+    for k, (label, a, b) in enumerate(line_runs(line_labels)):
         tag = label[1:-1]  # "<front>" → "front"
         content = "".join(
             html_encode(lines[i]["text"]) + "<lb/>\n" for i in range(a, b + 1)
         )
-        parts.append(f"\t\t\t<{tag}>{content}</{tag}>\n")
+        parts.append(
+            f"\t\t\t<{tag}{_coords_attr(coords, k)}>{content}</{tag}>\n"
+        )
     parts.append("\t</text>\n</tei>\n")
     return "".join(parts)
 
@@ -185,10 +216,13 @@ def assemble_body_tei(
     lang: str | None,
     tokens: list[str],
     entries: list[dict],
+    coords: list[tuple[int, int]] | None = None,
 ) -> str:
     """Entry-tagged TEI over the body token stream. Content between a run's
     first and last labeled token is re-read from the original tokenization
-    (whitespace re-insertion, J2); newline tokens render as ``<lb/>``."""
+    (whitespace re-insertion, J2); newline tokens render as ``<lb/>``.
+    ``coords`` (optional, one per entry run) adds char-span coordinate
+    attributes; see ``_coords_attr``."""
     lang = lang or _DEFAULT_LANG
     parts = [
         _TEI_HEADER,
@@ -197,10 +231,12 @@ def assemble_body_tei(
         "\t</teiHeader>\n",
         f'\t<text xml:lang="{html_encode(lang)}">\n',
     ]
-    for run in entries:
+    for k, run in enumerate(entries):
         open_tag, close_tag = _BODY_TAG_MAP.get(
             run["label"], (run["label"], "</" + run["label"][1:])
         )
+        if coords is not None:
+            open_tag = open_tag[:-1] + _coords_attr(coords, k) + ">"
         buf: list[str] = []
         for t in range(run["start"], run["end"]):
             tok = tokens[t]

@@ -123,6 +123,7 @@ def _extract_partition(
     winners_ref,
     max_tokens: int,
     max_blocks: int,
+    tei_coordinates: bool = False,
 ) -> dict:
     """One checkpoint unit: fragments → winner-filter → fused cascade →
     atomic part file + lineage record. Runs as a plain Ray task; the fused
@@ -147,7 +148,8 @@ def _extract_partition(
         tss = batch["warc_ts"].to_pylist()
         mask = pa.array([w.get(h) == t for h, t in zip(hashes, tss)])
         batch = _dedup_batch(batch.filter(mask), "url", "warc_ts")
-    result = _fused_task(batch, max_tokens=max_tokens, max_blocks=max_blocks)
+    result = _fused_task(batch, max_tokens=max_tokens, max_blocks=max_blocks,
+                         tei_coordinates=tei_coordinates)
     rejected = sum(1 for e in result["error"].to_pylist() if e)
 
     data_name = f"part-{part_id:05d}.parquet"
@@ -190,6 +192,7 @@ def run_extract_job(
     max_blocks: int = 3_000,
     dedup: bool = True,
     max_in_flight: int = 64,
+    tei_coordinates: bool = False,
 ) -> dict:
     """Checkpointed flagship run over a parquet directory. Safe to re-invoke
     after a crash: completed partitions are skipped via the manifest
@@ -244,7 +247,8 @@ def run_extract_job(
             recs.extend(ray.get(ready))
         in_flight.append(
             _extract_partition.remote(
-                part_id, frs, out_dir, winners_ref, max_tokens, max_blocks
+                part_id, frs, out_dir, winners_ref, max_tokens, max_blocks,
+                tei_coordinates,
             )
         )
     recs.extend(ray.get(in_flight))

@@ -76,3 +76,67 @@ def test_body_label_runs_and_tei():
     runs_all = [{"label": "<other>", "start": 0, "end": len(tokens)}]
     tei2 = assemble_body_tei("u", "fr", tokens, runs_all)
     assert '<note type="other">1. aa<lb/>\n2. bb</note>' in tei2
+
+
+def test_tei_coordinates_char_spans():
+    """-teiCoordinates analogue: coords attributes are char spans into the
+    extracted text, and each span slices back to exactly the tokens the
+    element covers."""
+    import re
+
+    from datacat_ray.stages.tei import token_char_offsets
+
+    lines, tokens, token_line = _mk(["Front line", "Body one", "Body two"])
+    labels = ["I-<front>", "I-<body>", "<body>"]
+    zones = decode_zones(labels, token_line, len(tokens))
+    offs = token_char_offsets(tokens)
+    text = extracted_text(tokens)
+    assert offs[len(tokens)] == len(text)
+
+    seg_coords = [(offs[z["start"]], offs[z["end"]]) for z in zones]
+    tei = assemble_segmenter_tei("http://u", "fr", lines, labels, seg_coords)
+    got = re.findall(r'<(\w+) coords="(\d+),(\d+)">', tei)
+    assert [g[0] for g in got] == ["front", "body"]
+    for (tag, s, e), z in zip(got, zones):
+        assert text[int(s):int(e)] == "".join(tokens[z["start"]:z["end"]])
+
+    runs = [{"label": "<entry>", "start": zones[1]["start"],
+             "end": len(tokens)}]
+    body_coords = [(offs[r["start"]], offs[r["end"]]) for r in runs]
+    tei_b = assemble_body_tei("http://u", "fr", tokens, runs, body_coords)
+    m = re.search(r'<entry coords="(\d+),(\d+)">', tei_b)
+    assert m and text[int(m.group(1)):int(m.group(2))] == "".join(
+        tokens[runs[0]["start"]:runs[0]["end"]]
+    )
+    # without coords the output is byte-identical to the frozen goldens
+    assert 'coords' not in assemble_body_tei("http://u", "fr", tokens, runs)
+
+
+def test_fused_stage_tei_coordinates_end_to_end():
+    """Coordinates flow through the fused cascade: every zone/entry element
+    in the TEI carries the char span its token span maps to."""
+    import re
+
+    from datacat_ray.fixtures import make_catalogue_html
+    from datacat_ray.pipelines.extract import FusedExtractStage
+    from datacat_ray.stages.tei import token_char_offsets
+
+    import random
+
+    html, _ = make_catalogue_html(random.Random(5), n_entries=6)
+    st = FusedExtractStage(tei_coordinates=True)
+    (text, _main, tei, tei_body, zones, entries, _lex, _nl, _nt,
+     err) = st._one("http://coords", "fr", html.encode(), None)
+    assert err is None
+    seg_spans = [tuple(map(int, m))
+                 for m in re.findall(r' coords="(\d+),(\d+)"', tei)]
+    assert len(seg_spans) == len(zones)
+    body_spans = [tuple(map(int, m))
+                  for m in re.findall(r' coords="(\d+),(\d+)"', tei_body)]
+    assert len(body_spans) == len(entries)
+    for (s, e), r in zip(body_spans, entries):
+        assert 0 <= s <= e <= len(text)
+    # zone spans tile the text end to end
+    assert seg_spans[0][0] == 0 and seg_spans[-1][1] == len(text)
+    for a, b in zip(seg_spans, seg_spans[1:]):
+        assert a[1] == b[0]
