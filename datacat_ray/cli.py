@@ -155,6 +155,28 @@ def cmd_refeval(args) -> int:
     return 0
 
 
+def cmd_train(args) -> int:
+    """Train a model from a ``<dir>/{tei,raw}`` corpus (reference layout /
+    ``create-training`` export) — the DatacatTrainerRunner workflow
+    (SURVEY §3.4): seeded train/eval split, eval.txt report on stdout,
+    optional self-contained JSON model artifact (``--out``) loadable via
+    ``pipelines.trainer.load_model_json``."""
+    _init_ray(args.num_cpus)
+    from datacat_ray.pipelines.trainer import save_model_json, train_model
+
+    artifact, report = train_model(
+        args.corpus, model=args.model, trainer=args.trainer,
+        template_path=args.template, train_pct=args.train_pct,
+        seed=args.seed, epochs=args.epochs, max_iter=args.max_iter,
+    )
+    if args.out:
+        save_model_json(args.out, artifact)
+        print(f"model -> {args.out} ({len(artifact['weights'])} features, "
+              f"{artifact['train_docs']} train docs)", file=sys.stderr)
+    print(report)
+    return 0
+
+
 def cmd_create_training(args) -> int:
     """Export paired training-bootstrap files per input document — the
     reference's ``createTrainingDatacatSegmentation`` workflow
@@ -189,7 +211,8 @@ def cmd_commands(args) -> int:
     usable-method listing of the reference CLI)."""
     from datacat_ray.pipelines.queries import build_oracle_sql, build_queries
 
-    print("commands: extract synth query create-training refeval commands")
+    print("commands: extract synth query create-training train refeval "
+          "commands")
     oracles = build_oracle_sql()
     for name in sorted(build_queries()):
         tag = "sql-oracle" if name in oracles else "rows-only"
@@ -241,6 +264,21 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-iter", type=int, default=1000,
                    help="CRF trainer iteration cap (reference yaml default)")
     p.set_defaults(fn=cmd_refeval)
+
+    p = sub.add_parser("train", help=cmd_train.__doc__)
+    p.add_argument("corpus", help="directory containing tei/ and raw/")
+    p.add_argument("--model", choices=["segmenter", "body"],
+                   default="segmenter")
+    p.add_argument("--trainer", choices=["crf", "perceptron"],
+                   default="crf")
+    p.add_argument("--template", default=None,
+                   help="CRF++ template file (default: the reference's)")
+    p.add_argument("--out", default=None, help="model artifact JSON path")
+    p.add_argument("--train-pct", type=int, default=90)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--epochs", type=int, default=6)
+    p.add_argument("--max-iter", type=int, default=1000)
+    p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("create-training", help=cmd_create_training.__doc__)
     p.add_argument("input")

@@ -24,14 +24,18 @@ SEG_LABELS = ["<front>", "<body>", "<back>", "<annex>", "<other>",
               "<header>", "<footnote>"]
 
 
-def load_pairs(split: str, limit: int | None = None):
+def load_pairs(split: str, limit: int | None = None,
+               base_dir: str = REF_SEG):
     """(doc_name, fseq-ready feature dicts, gold labels) per aligned doc of
-    ``corpus`` or ``evaluation``."""
+    ``corpus`` or ``evaluation``. ``base_dir`` defaults to the reference's
+    committed segmenter corpus; pass any directory in the same layout
+    (``<base>/<split>/{tei,raw}`` — e.g. a ``create-training`` export
+    parent) to train on user-corrected data."""
     from datacat_ray.pipelines.training import align_labels
     from datacat_ray.stages.tei import parse_reference_tei
 
-    tei_dir = os.path.join(REF_SEG, split, "tei")
-    raw_dir = os.path.join(REF_SEG, split, "raw")
+    tei_dir = os.path.join(base_dir, split, "tei")
+    raw_dir = os.path.join(base_dir, split, "raw")
     raws = set(os.listdir(raw_dir))
     out = []
     for t in sorted(os.listdir(tei_dir)):
@@ -76,16 +80,18 @@ BODY_FIELDS = [f"f{i}" for i in range(24)]
 BODY_LABELS = ["<entry>", "<title>", "<titledesc>", "<other>"]
 
 
-def load_body_pairs(split: str, limit: int | None = None):
+def load_body_pairs(split: str, limit: int | None = None,
+                    base_dir: str = REF_BODY):
     """Token-level (doc, feature dicts, gold labels) for the body model:
     TEI elements tokenized with the engine tokenizer, aligned (J1) against
-    the raw feature file's token column."""
+    the raw feature file's token column. ``base_dir`` as in
+    ``load_pairs``."""
     from datacat_ray.functions.textkit import tokenize_layout
     from datacat_ray.pipelines.training import align_labels
     from datacat_ray.stages.tei import parse_reference_body_tei
 
-    tei_dir = os.path.join(REF_BODY, split, "tei")
-    raw_dir = os.path.join(REF_BODY, split, "raw")
+    tei_dir = os.path.join(base_dir, split, "tei")
+    raw_dir = os.path.join(base_dir, split, "raw")
     raws = set(os.listdir(raw_dir))
     out = []
     for t in sorted(os.listdir(tei_dir)):
