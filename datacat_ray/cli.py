@@ -87,6 +87,11 @@ def cmd_extract(args) -> int:
         fragments_per_part=args.fragments_per_part,
         dedup=not args.no_dedup,
         tei_coordinates=args.tei_coordinates,
+        model_paths={
+            k: v for k, v in (
+                ("segmenter", args.segmenter_model), ("body", args.body_model)
+            ) if v
+        },
     )
     print(json.dumps(summary))
     return 0
@@ -237,6 +242,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="annotate TEI zone/entry elements with char-span "
                         "coords into the extracted text (the web analogue "
                         "of the reference's -teiCoordinates)")
+    p.add_argument("--segmenter-model", default=None,
+                   help="trained segmenter artifact JSON (from `train`) "
+                        "to use instead of the frozen model")
+    p.add_argument("--body-model", default=None,
+                   help="trained body artifact JSON (from `train`)")
     p.set_defaults(fn=cmd_extract)
 
     p = sub.add_parser("synth", help=cmd_synth.__doc__)

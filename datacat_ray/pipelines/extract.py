@@ -35,7 +35,10 @@ from datacat_ray.stages.dom import (
     extract_blocks,
     parse_main_blocks,
 )
-from datacat_ray.stages.line_features import featurize_lines
+from datacat_ray.stages.line_features import (
+    _FIELD_NAMES as _LINE_FIELD_NAMES,
+    featurize_lines,
+)
 from datacat_ray.stages.lexical_features import featurize_entry_tokens
 from datacat_ray.stages.models import BODY_MODEL, LEXICAL_MODEL, SEGMENTER_MODEL
 from datacat_ray.stages.tei import (
@@ -62,7 +65,10 @@ def unwrapped_text(lines: list[dict]) -> str:
         else:
             parts[-1] = parts[-1] + " " + ln["text"]
     return "\n".join(parts)
-from datacat_ray.stages.token_features import featurize_body_tokens
+from datacat_ray.stages.token_features import (
+    _TOKEN_FIELD_NAMES as _BODY_FIELD_NAMES,
+    featurize_body_tokens,
+)
 from datacat_ray.stages.tokenizer import tokenize_document, tokenize_stage
 from datacat_ray.stages.zones import ZONE_STRUCT, decode_zones, zone_token_indices
 
@@ -90,6 +96,17 @@ RESULT_SCHEMA = pa.schema(
 )
 
 
+def _to_raw_fields(feats: list[dict], order: list[str]) -> list[dict]:
+    """Named feature dicts → raw-column field space (``f0..fN`` keyed,
+    stringified in serialization order) — the space trained model
+    artifacts' templates reference (their corpora are raw feature
+    files)."""
+    return [
+        {f"f{i}": str(d[name]) for i, name in enumerate(order)}
+        for d in feats
+    ]
+
+
 class FusedExtractStage:
     """The whole per-document cascade in ONE actor ``__call__``: DOM parse +
     boilerplate strip (S2'), tokenize (M1/M2), line featurize + segmenter
@@ -114,9 +131,30 @@ class FusedExtractStage:
         start_page: int = -1,
         end_page: int = -1,
         tei_coordinates: bool = False,
+        model_paths: dict | None = None,
     ) -> None:
-        self.seg = CRFDecoder(SEGMENTER_MODEL)
-        self.body = CRFDecoder(BODY_MODEL)
+        # ``model_paths`` swaps frozen models for trained artifacts (the
+        # "deploy" leg of the model-improvement loop): keys "segmenter" /
+        # "body" → JSON artifacts from `cli train` (pipelines/trainer.py).
+        # Artifact templates reference the RAW feature columns (f0..fN in
+        # serialization order), so decode inputs are converted per model.
+        mp = model_paths or {}
+        if "segmenter" in mp:
+            from datacat_ray.pipelines.trainer import load_model_json
+
+            self.seg = load_model_json(mp["segmenter"])
+            self.seg_raw_fields = True
+        else:
+            self.seg = CRFDecoder(SEGMENTER_MODEL)
+            self.seg_raw_fields = False
+        if "body" in mp:
+            from datacat_ray.pipelines.trainer import load_model_json
+
+            self.body = load_model_json(mp["body"])
+            self.body_raw_fields = True
+        else:
+            self.body = CRFDecoder(BODY_MODEL)
+            self.body_raw_fields = False
         self.lexical = CRFDecoder(LEXICAL_MODEL)
         self.max_tokens = max_tokens
         self.max_blocks = max_blocks
@@ -161,10 +199,14 @@ class FusedExtractStage:
         if len(tokens) > self.max_tokens:
             return "", "", "", "", [], [], [], 0, 0, f"TOO_MANY_TOKENS: {len(tokens)}"
         feats = featurize_lines(lines)
+        if self.seg_raw_fields:
+            feats = _to_raw_fields(feats, _LINE_FIELD_NAMES)
         line_labels = with_begin_prefix(self.seg.decode(feats))
         zones = decode_zones(line_labels, token_line, len(tokens))
         body_ranges = zone_token_indices(zones, "<body>")
         bfeats, idx = featurize_body_tokens(tokens, token_line, lines, body_ranges)
+        if self.body_raw_fields:
+            bfeats = _to_raw_fields(bfeats, _BODY_FIELD_NAMES)
         entries = body_label_runs(self.body.decode(bfeats), idx)
         lexical = self._lexical_spans(tokens, entries)
         if self.tei_coordinates:
@@ -311,6 +353,7 @@ def _fused_task(
     start_page: int = -1,
     end_page: int = -1,
     tei_coordinates: bool = False,
+    model_paths: tuple = (),
 ) -> pa.Table:
     """Task-mode wrapper around ``FusedExtractStage`` with a per-WORKER-
     PROCESS stage cache: the decoders compile once per worker (Ray reuses
@@ -323,12 +366,14 @@ def _fused_task(
     (``execution="actors"``) is the right choice only when per-actor state
     is expensive — multi-GB model weights, a remote connection — which is
     exactly what ``FusedExtractStage.__init__`` models."""
-    key = (max_tokens, max_blocks, start_page, end_page, tei_coordinates)
+    key = (max_tokens, max_blocks, start_page, end_page, tei_coordinates,
+           model_paths)
     st = _TASK_STAGE_CACHE.get(key)
     if st is None:
         _TASK_STAGE_CACHE.clear()
         st = _TASK_STAGE_CACHE[key] = FusedExtractStage(
-            max_tokens, max_blocks, start_page, end_page, tei_coordinates
+            max_tokens, max_blocks, start_page, end_page, tei_coordinates,
+            dict(model_paths),
         )
     return st(batch)
 
@@ -356,6 +401,7 @@ def build_extract_pipeline(
                 "max_tokens": cfg.max_tokens, "max_blocks": cfg.max_blocks,
                 "start_page": cfg.start_page, "end_page": cfg.end_page,
                 "tei_coordinates": cfg.tei_coordinates,
+                "model_paths": cfg.model_paths,
             },
             batch_format="pyarrow",
             batch_size=cfg.segmenter.batch_size,
@@ -369,6 +415,7 @@ def build_extract_pipeline(
             _fused_task, max_tokens=cfg.max_tokens, max_blocks=cfg.max_blocks,
             start_page=cfg.start_page, end_page=cfg.end_page,
             tei_coordinates=cfg.tei_coordinates,
+            model_paths=tuple(sorted((cfg.model_paths or {}).items())),
         ),
         batch_format="pyarrow",
         batch_size=cfg.segmenter.batch_size,

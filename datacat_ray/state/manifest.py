@@ -124,6 +124,7 @@ def _extract_partition(
     max_tokens: int,
     max_blocks: int,
     tei_coordinates: bool = False,
+    model_paths: tuple = (),
 ) -> dict:
     """One checkpoint unit: fragments → winner-filter → fused cascade →
     atomic part file + lineage record. Runs as a plain Ray task; the fused
@@ -149,7 +150,8 @@ def _extract_partition(
         mask = pa.array([w.get(h) == t for h, t in zip(hashes, tss)])
         batch = _dedup_batch(batch.filter(mask), "url", "warc_ts")
     result = _fused_task(batch, max_tokens=max_tokens, max_blocks=max_blocks,
-                         tei_coordinates=tei_coordinates)
+                         tei_coordinates=tei_coordinates,
+                         model_paths=model_paths)
     rejected = sum(1 for e in result["error"].to_pylist() if e)
 
     data_name = f"part-{part_id:05d}.parquet"
@@ -193,6 +195,7 @@ def run_extract_job(
     dedup: bool = True,
     max_in_flight: int = 64,
     tei_coordinates: bool = False,
+    model_paths: dict | None = None,
 ) -> dict:
     """Checkpointed flagship run over a parquet directory. Safe to re-invoke
     after a crash: completed partitions are skipped via the manifest
@@ -248,7 +251,7 @@ def run_extract_job(
         in_flight.append(
             _extract_partition.remote(
                 part_id, frs, out_dir, winners_ref, max_tokens, max_blocks,
-                tei_coordinates,
+                tei_coordinates, tuple(sorted((model_paths or {}).items())),
             )
         )
     recs.extend(ray.get(in_flight))

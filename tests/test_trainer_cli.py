@@ -66,13 +66,22 @@ def test_train_save_load_decode_roundtrip(exported_corpus, tmp_path):
     assert artifact2["transitions"] == artifact["transitions"]
 
 
-def test_train_crf_estimator_on_export(exported_corpus, ray_session):
-    """The CRF estimator path over an exported corpus: short budget, must
-    fit the (machine-labeled, hence consistent) corpus well."""
+import pytest as _pytest
+
+
+@_pytest.fixture(scope="module")
+def crf_artifact(exported_corpus, ray_session):
     artifact, report = train_model(
         exported_corpus, model="segmenter", trainer="crf",
         train_pct=100, max_iter=25, shards=4,
     )
+    return artifact, report
+
+
+def test_train_crf_estimator_on_export(exported_corpus, crf_artifact):
+    """The CRF estimator path over an exported corpus: short budget, must
+    fit the (machine-labeled, hence consistent) corpus well."""
+    artifact, report = crf_artifact
     micro = [ln for ln in report.splitlines() if "micro" in ln.lower()]
     assert artifact["trainer"] == "crf"
     # train_pct=100 evaluates on the training docs: a CRF must fit
@@ -92,3 +101,62 @@ def test_train_crf_estimator_on_export(exported_corpus, ray_session):
         tp += sum(1 for a, b in zip(gold, pred) if a == b)
         tot += len(gold)
     assert tot and tp / tot >= 0.9, f"{tp}/{tot} ({micro})"
+
+
+def test_raw_field_conversion_matches_serialization():
+    """The deploy-time feature conversion (_to_raw_fields) must produce
+    exactly the values training read back from the raw files — i.e. the
+    canonical serialization split into columns."""
+    import random
+
+    from datacat_ray.fixtures import make_catalogue_html
+    from datacat_ray.pipelines.extract import _LINE_FIELD_NAMES, _to_raw_fields
+    from datacat_ray.stages.dom import parse_main_blocks
+    from datacat_ray.stages.line_features import (
+        featurize_lines,
+        serialize_features,
+    )
+    from datacat_ray.stages.tokenizer import tokenize_document
+
+    html, _ = make_catalogue_html(random.Random(4), n_entries=4)
+    lines, _tok, _tl = tokenize_document(parse_main_blocks(html))
+    feats = featurize_lines(lines)
+    conv = _to_raw_fields(feats, _LINE_FIELD_NAMES)
+    for d, c in zip(feats, conv):
+        cols = serialize_features(d).split(" ")
+        assert [c[f"f{i}"] for i in range(len(cols))] == cols
+
+
+def test_deploy_trained_model_in_cascade(exported_corpus, tmp_path,
+                                         crf_artifact, ray_session):
+    """Deploy leg: a trained artifact swaps into the fused cascade via
+    model_paths and labels real pages end to end."""
+    import random
+
+    from datacat_ray.fixtures import make_catalogue_html
+    from datacat_ray.pipelines.extract import FusedExtractStage
+
+    artifact, _ = crf_artifact
+    path = save_model_json(str(tmp_path / "seg.json"), artifact)
+    st = FusedExtractStage(model_paths={"segmenter": path})
+    assert st.seg_raw_fields and not st.body_raw_fields
+    html, _ = make_catalogue_html(random.Random(2), n_entries=5)
+    (text, _main, tei, _tb, zones, _e, _lx, n_lines, _nt,
+     err) = st._one("http://deploy", "fr", html.encode(), None)
+    assert err is None and n_lines > 0
+    assert zones and all(z["label"] in artifact["labels"] for z in zones)
+    # the trained model was fit on machine labels from the frozen model,
+    # so its zoning of a fixture page must agree substantially with it
+    frozen = FusedExtractStage()
+    zf = frozen._one("http://deploy", "fr", html.encode(), None)[4]
+    # compare per-token zone labels
+    def tok_labels(zs, n):
+        out = [None] * n
+        for z in zs:
+            for t in range(z["start"], z["end"]):
+                out[t] = z["label"]
+        return out
+    n = max(z["end"] for z in zones)
+    a, b = tok_labels(zones, n), tok_labels(zf, n)
+    agree = sum(1 for x, y in zip(a, b) if x == y) / n
+    assert agree >= 0.7, f"trained-vs-frozen zone agreement {agree:.2f}"
