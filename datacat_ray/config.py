@@ -39,6 +39,10 @@ class PipelineConfig:
     # so zone/entry TEI elements carry char-span coords="start,end" into
     # the byte-identity extracted text instead
     tei_coordinates: bool = False
+    # trained model artifacts (cli train JSON) replacing the frozen models:
+    # {"segmenter": path, "body": path} — the deploy leg of the
+    # model-improvement loop
+    model_paths: dict = field(default_factory=dict)
     # stage knobs
     dom: StageConfig = field(default_factory=lambda: StageConfig(batch_size=128))
     tokenize: StageConfig = field(default_factory=lambda: StageConfig(batch_size=128))
