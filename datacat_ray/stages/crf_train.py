@@ -409,6 +409,7 @@ def _optimize(workers, vocab, labels, dim, n_feat, n_lab, rho1, rho2,
     x = np.zeros(dim)
     f, g = evaluate(x, True)
     obj = phi(f, x)
+    step_prev = None
     s_hist: list[np.ndarray] = []
     y_hist: list[np.ndarray] = []
     obj_hist = [obj]
@@ -440,7 +441,18 @@ def _optimize(workers, vocab, labels, dim, n_feat, n_lab, rho1, rho2,
         xi = np.sign(x)
         z = xi == 0
         xi[z] = -np.sign(pg[z])
-        step = 1.0 if s_hist else 1.0 / max(1e-12, float(np.linalg.norm(d)))
+        # step memory: start near the last accepted step (doubling back
+        # toward 1, floored at 1/4 so the tiny first-iteration
+        # gradient-descent step can never trap the search) — with
+        # L1-projected directions the unit step fails systematically on
+        # this objective, and every failed first trial wastes the fused
+        # gradient plus one extra distributed eval
+        if not s_hist:
+            step = 1.0 / max(1e-12, float(np.linalg.norm(d)))
+        elif step_prev is not None:
+            step = min(1.0, max(step_prev * 2.0, 0.25))
+        else:
+            step = 1.0
         accepted = False
         for trial in range(30):
             x_new = x + step * d
@@ -461,6 +473,7 @@ def _optimize(workers, vocab, labels, dim, n_feat, n_lab, rho1, rho2,
             step *= 0.5
         if not accepted:
             break
+        step_prev = step
         if g_new is None:
             f_new, g_new = evaluate(x_new, True)
         s_vec, y_vec = x_new - x, g_new - g
