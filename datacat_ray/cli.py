@@ -66,7 +66,16 @@ def cmd_extract(args) -> int:
                 print(f"no *.warc / *.warc.gz files found in {args.input}",
                       file=sys.stderr)
                 return 2
-        ds = extract_pages_warc(paths)
+        from datacat_ray.config import PipelineConfig
+
+        warc_cfg = PipelineConfig()
+        warc_cfg.tei_coordinates = args.tei_coordinates
+        warc_cfg.model_paths = {
+            k: v for k, v in (
+                ("segmenter", args.segmenter_model), ("body", args.body_model)
+            ) if v
+        }
+        ds = extract_pages_warc(paths, warc_cfg)
         if getattr(args, "output_format", "parquet") == "wet":
             from datacat_ray.sources.warc import write_wet
 
@@ -148,13 +157,14 @@ def cmd_refeval(args) -> int:
         _, report = reference_body_wapiti_eval()
     elif args.model == "body":
         _, report = reference_body_train_eval(
-            epochs=args.epochs, trainer=args.trainer
+            epochs=args.epochs, trainer=args.trainer,
+            max_iter=args.max_iter or 150,
         )
     else:
         _, report = reference_train_eval(
             train_docs=args.train_docs, epochs=args.epochs,
             shards=args.shards, trainer=args.trainer,
-            max_iter=args.max_iter,
+            max_iter=args.max_iter or 1000,
         )
     print(report)
     return 0
@@ -271,8 +281,9 @@ def main(argv: list[str] | None = None) -> int:
                    default="perceptron",
                    help="crf = OWL-QN elastic-net CRF, the reference's "
                         "actual estimator family (stages/crf_train.py)")
-    p.add_argument("--max-iter", type=int, default=1000,
-                   help="CRF trainer iteration cap (reference yaml default)")
+    p.add_argument("--max-iter", type=int, default=None,
+                   help="CRF trainer iteration cap (default: 1000 "
+                        "segmenter / 150 body)")
     p.set_defaults(fn=cmd_refeval)
 
     p = sub.add_parser("train", help=cmd_train.__doc__)

@@ -81,11 +81,19 @@ BODY_LABELS = ["<entry>", "<title>", "<titledesc>", "<other>"]
 
 
 def load_body_pairs(split: str, limit: int | None = None,
-                    base_dir: str = REF_BODY):
+                    base_dir: str = REF_BODY, begin_states: bool = False):
     """Token-level (doc, feature dicts, gold labels) for the body model:
     TEI elements tokenized with the engine tokenizer, aligned (J1) against
-    the raw feature file's token column. ``base_dir`` as in
-    ``load_pairs``."""
+    the raw feature file's token column. ``base_dir`` as in ``load_pairs``.
+
+    ``begin_states=True`` prefixes each element's first token label with
+    ``I-`` (the reference's begin-state convention,
+    ``DatacatBodySegmentationParser.java:861-876``) — REQUIRED when the
+    pairs train a deployable model, because ``body_label_runs`` splits
+    entries only on ``I-``: a model that can't predict begin states
+    collapses adjacent same-label elements into one span. The default
+    (flat labels) is the evaluation convention, comparable with
+    ``iob_to_flat``-collapsed Wapiti output."""
     from datacat_ray.functions.textkit import tokenize_layout
     from datacat_ray.pipelines.training import align_labels
     from datacat_ray.stages.tei import parse_reference_body_tei
@@ -104,9 +112,12 @@ def load_body_pairs(split: str, limit: int | None = None,
             open(os.path.join(tei_dir, t), encoding="utf-8", errors="replace").read()
         ):
             lb = "<other>" if label == "<note>" else label
+            first = True
             for tok in tokenize_layout(content):
                 if not tok.isspace():
-                    labeled.append((tok, lb))
+                    mark = "I-" + lb if (begin_states and first) else lb
+                    labeled.append((tok, mark))
+                    first = False
         feats = []
         toks = []
         for ln in open(os.path.join(raw_dir, cand[0]), encoding="utf-8",
@@ -135,7 +146,7 @@ def load_body_template():
 
 
 def reference_body_train_eval(
-    epochs: int = 6, trainer: str = "perceptron"
+    epochs: int = 6, trainer: str = "perceptron", max_iter: int = 150
 ) -> tuple[pa.Table, str]:
     """Body-segmentation counterpart of ``reference_train_eval`` (14 train
     + 3 eval committed pairs; reference committed micro-F1 22–86 across
@@ -155,7 +166,8 @@ def reference_body_train_eval(
     if trainer == "crf":
         from datacat_ray.stages.crf_train import train_crf_lbfgs
 
-        w, trans = train_crf_lbfgs(seqs, BODY_LABELS, max_iter=150, shards=8)
+        w, trans = train_crf_lbfgs(seqs, BODY_LABELS, max_iter=max_iter,
+                                   shards=8)
     else:
         w, trans = _train_shard(seqs, BODY_LABELS, {}, {},
                                 epochs_per_round=epochs)

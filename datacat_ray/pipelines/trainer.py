@@ -33,11 +33,15 @@ def load_corpus(corpus_dir: str, model: str = "segmenter",
                 limit: int | None = None):
     """(doc_name, feature dicts, gold labels) per aligned doc of a
     ``<dir>/{tei,raw}`` corpus (reference layout / create-training
-    export)."""
+    export). Body corpora load WITH ``I-`` begin states — a deployable
+    body model must predict element starts or ``body_label_runs`` merges
+    adjacent same-label entries."""
     from datacat_ray.pipelines.reference_eval import load_body_pairs, load_pairs
 
-    loader = load_pairs if model == "segmenter" else load_body_pairs
-    return loader("", limit=limit, base_dir=corpus_dir)
+    if model == "segmenter":
+        return load_pairs("", limit=limit, base_dir=corpus_dir)
+    return load_body_pairs("", limit=limit, base_dir=corpus_dir,
+                           begin_states=True)
 
 
 def train_model(
@@ -84,7 +88,13 @@ def train_model(
     eval_docs = [
         d for i, d in enumerate(docs)
         if train_pct >= 100 or split_of(i, train_pct, seed) != "train"
-    ] or train_docs
+    ]
+    # disclosed, never silent: with train_pct=100 — or a small corpus the
+    # seeded split happens to put entirely in train — the report describes
+    # TRAINING accuracy, not held-out quality
+    eval_on_train = not eval_docs or train_pct >= 100
+    if not eval_docs:
+        eval_docs = train_docs
     seqs = [(expand_sequence(f, templates), g) for _, f, g in train_docs]
 
     if trainer == "crf":
@@ -107,6 +117,9 @@ def train_model(
     pairs = ray.data.from_arrow(pa.table({"gold": golds, "pred": preds}))
     report = format_eval_report(eval_metrics(pairs),
                                 accuracy_total=len(golds))
+    if eval_on_train:
+        report = ("NOTE: evaluated on the TRAINING documents (no held-out "
+                  "split) — not an estimate of generalization\n" + report)
 
     artifact = {
         "format": "datacat-ray-crf-v1",
@@ -119,6 +132,7 @@ def train_model(
         "transitions": [[a, b, v] for (a, b), v in sorted(trans.items())],
         "train_docs": len(train_docs),
         "eval_docs": len(eval_docs),
+        "eval_on_train": eval_on_train,
         "train_pct": train_pct,
         "seed": seed,
     }

@@ -186,6 +186,42 @@ def _extract_partition(
     return rec
 
 
+def _check_job_config(out_dir: str, tei_coordinates: bool,
+                      model_paths: dict | None) -> None:
+    """Bind the output directory to its extraction-config identity.
+
+    Completed partitions are keyed only by partition id, so resuming with
+    a DIFFERENT config (other model artifact, toggled coordinates) would
+    silently mix outputs from two configs in one dataset. First run writes
+    ``_manifest/_JOB_CONFIG.json`` (model artifacts fingerprinted by
+    content, not path); later runs must match or fail with instructions.
+    """
+    import hashlib as _hl
+
+    fps = {}
+    for name, path in sorted((model_paths or {}).items()):
+        with open(path, "rb") as fh:
+            fps[name] = _hl.sha256(fh.read()).hexdigest()[:16]
+    cfg = {"tei_coordinates": bool(tei_coordinates), "model_sha": fps}
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    cfg_path = os.path.join(mdir, "_JOB_CONFIG.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path, encoding="utf-8") as fh:
+            prev = json.load(fh)
+        if prev != cfg:
+            raise ValueError(
+                f"output dir {out_dir} was produced with a different "
+                f"extraction config ({prev} != {cfg}); use a fresh output "
+                "directory, or delete it to rebuild from scratch"
+            )
+        return
+    tmp = os.path.join(mdir, f".tmp._JOB_CONFIG.{os.getpid()}")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(cfg, fh)
+    os.replace(tmp, cfg_path)
+
+
 def run_extract_job(
     input_path: str,
     out_dir: str,
@@ -214,6 +250,7 @@ def run_extract_job(
             for f in os.listdir(d):
                 if f.startswith(".tmp."):
                     os.unlink(os.path.join(d, f))
+    _check_job_config(out_dir, tei_coordinates, model_paths)
     fragments = list_fragments(input_path)
     parts = plan_partitions(fragments, fragments_per_part)
     done = completed_partitions(out_dir)

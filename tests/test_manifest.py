@@ -123,3 +123,42 @@ def test_job_bucketed_winner_path_identical(ray_session, tmp_path, pages_dir):
 
     assert rows(out_a) == rows(out_b)
     assert s["rows_out"] > 0
+
+
+def test_resume_refuses_config_change(ray_session, tmp_path, pages_dir):
+    """The output dir is bound to its extraction-config identity: resuming
+    with different tei_coordinates (or another model artifact) must fail
+    loudly instead of mixing configs across partitions."""
+    import pytest
+
+    out = str(tmp_path / "out_cfg")
+    run_extract_job(pages_dir, out)
+    # same config resumes fine (no-op: everything done)
+    s = run_extract_job(pages_dir, out)
+    assert s["processed"] == 0
+    with pytest.raises(ValueError, match="different extraction config"):
+        run_extract_job(pages_dir, out, tei_coordinates=True)
+
+
+def test_body_corpus_loads_with_begin_states():
+    """Trainer-path body corpora carry I- begin states so a deployed model
+    can mark entry starts (body_label_runs splits only on I-)."""
+    import os
+
+    from datacat_ray.pipelines.reference_eval import REF_BODY, load_body_pairs
+
+    if not os.path.isdir(REF_BODY):
+        import pytest
+
+        pytest.skip("reference checkout absent")
+    flat = load_body_pairs("corpus", limit=2)
+    iob = load_body_pairs("corpus", limit=2, begin_states=True)
+    for (_, _, g_flat), (_, _, g_iob) in zip(flat, iob):
+        assert len(g_flat) == len(g_iob)
+        assert not any(lb.startswith("I-") for lb in g_flat)
+        begins = [lb for lb in g_iob if lb.startswith("I-")]
+        assert begins, "begin states must appear"
+        # stripping I- recovers the flat labels exactly
+        from datacat_ray.stages.crf import strip_begin_prefix
+
+        assert [strip_begin_prefix(x) for x in g_iob] == g_flat

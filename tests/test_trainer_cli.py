@@ -66,10 +66,7 @@ def test_train_save_load_decode_roundtrip(exported_corpus, tmp_path):
     assert artifact2["transitions"] == artifact["transitions"]
 
 
-import pytest as _pytest
-
-
-@_pytest.fixture(scope="module")
+@pytest.fixture(scope="module")
 def crf_artifact(exported_corpus, ray_session):
     artifact, report = train_model(
         exported_corpus, model="segmenter", trainer="crf",
