@@ -183,6 +183,7 @@ def cmd_train(args) -> int:
         args.corpus, model=args.model, trainer=args.trainer,
         template_path=args.template, train_pct=args.train_pct,
         seed=args.seed, epochs=args.epochs, max_iter=args.max_iter,
+        checkpoint_dir=args.checkpoint_dir,
     )
     if args.out:
         save_model_json(args.out, artifact)

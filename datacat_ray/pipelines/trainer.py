@@ -54,6 +54,7 @@ def train_model(
     epochs: int = 6,
     max_iter: int = 1000,
     shards: int = 8,
+    checkpoint_dir: str | None = None,
 ) -> tuple[dict, str]:
     """Train from a corpus directory; returns (model artifact dict ready
     for ``save_model_json``, eval.txt-style report over the held-out
@@ -101,7 +102,8 @@ def train_model(
         from datacat_ray.stages.crf_train import train_crf_lbfgs
 
         w, trans = train_crf_lbfgs(seqs, labels, max_iter=max_iter,
-                                   shards=shards)
+                                   shards=shards,
+                                   checkpoint_dir=checkpoint_dir)
     else:
         from datacat_ray.stages.train import _train_shard
 

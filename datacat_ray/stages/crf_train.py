@@ -347,6 +347,8 @@ def train_crf_lbfgs(
     history: int = 5,
     shards: int = 8,
     verbose: bool = False,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 10,
 ) -> tuple[dict, dict]:
     """Train a linear-chain CRF by OWL-QN (L-BFGS when ``rho1 == 0``).
 
@@ -360,6 +362,16 @@ def train_crf_lbfgs(
     ``train._train_shard``, consumable by ``train._viterbi`` /
     ``crf.CRFModel``; L1 zeros are dropped, so ``rho1 > 0`` yields a
     genuinely sparse model.
+
+    ``checkpoint_dir`` makes long runs resumable (the repo's manifest
+    convention: write-temp-rename, resume = read the checkpoint): every
+    ``checkpoint_every`` accepted iterations the parameter vector and
+    iteration counter are published atomically; a rerun with the same
+    ``checkpoint_dir`` continues from there (with EMPTY curvature
+    history — the next few steps are gradient-scaled, so the resumed
+    trajectory is equivalent but not bit-identical to an uninterrupted
+    run; the checkpoint stores a corpus/hyperparameter fingerprint and
+    refuses to resume across a mismatch).
     """
     indexed, vocab = index_sequences(seqs, labels)
     n_feat, n_lab = len(vocab), len(labels)
@@ -372,16 +384,68 @@ def train_crf_lbfgs(
                               n_feat, n_lab)
         for s in range(shards)
     ]
+    ckpt = None
+    if checkpoint_dir is not None:
+        fp_src = repr((sorted(vocab[:1000]), n_feat, n_lab, rho1, rho2,
+                       epsilon, window, history, shards,
+                       sum(len(g) for _, g in indexed)))
+        import hashlib as _hl
+        ckpt = _Checkpoint(checkpoint_dir,
+                           _hl.sha256(fp_src.encode()).hexdigest()[:16],
+                           checkpoint_every)
     try:
         return _optimize(workers, vocab, labels, dim, n_feat, n_lab, rho1,
-                         rho2, epsilon, window, max_iter, history, verbose)
+                         rho2, epsilon, window, max_iter, history, verbose,
+                         ckpt)
     finally:
         for wk in workers:
             ray.kill(wk)
 
 
+class _Checkpoint:
+    """Atomic parameter checkpoint for the training loop (state =
+    x vector + iteration count + objective history tail)."""
+
+    def __init__(self, dir: str, fingerprint: str, every: int) -> None:
+        import os
+        self.dir, self.fp, self.every = dir, fingerprint, every
+        os.makedirs(dir, exist_ok=True)
+
+    def load(self, dim: int):
+        import json as _json
+        import os
+        meta_p = os.path.join(self.dir, "ckpt.json")
+        x_p = os.path.join(self.dir, "x.npy")
+        if not (os.path.exists(meta_p) and os.path.exists(x_p)):
+            return None
+        with open(meta_p, encoding="utf-8") as fh:
+            meta = _json.load(fh)
+        if meta.get("fingerprint") != self.fp:
+            raise ValueError(
+                f"checkpoint in {self.dir} was written by a different "
+                "corpus/hyperparameter combination; use a fresh dir")
+        x = np.load(x_p)
+        if x.shape[0] != dim:
+            raise ValueError("checkpoint dimension mismatch")
+        return x, meta
+
+    def save(self, x: np.ndarray, it: int, obj_hist: list,
+             step_prev) -> None:
+        import json as _json
+        import os
+        tmp = os.path.join(self.dir, f".tmp.x.{os.getpid()}.npy")
+        np.save(tmp, x)
+        os.replace(tmp, os.path.join(self.dir, "x.npy"))
+        meta = {"fingerprint": self.fp, "iteration": it,
+                "obj_hist_tail": obj_hist[-8:], "step_prev": step_prev}
+        tmp = os.path.join(self.dir, f".tmp.ckpt.{os.getpid()}.json")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            _json.dump(meta, fh)
+        os.replace(tmp, os.path.join(self.dir, "ckpt.json"))
+
+
 def _optimize(workers, vocab, labels, dim, n_feat, n_lab, rho1, rho2,
-              epsilon, window, max_iter, history, verbose):
+              epsilon, window, max_iter, history, verbose, ckpt=None):
     import time as _time
 
     n_evals = [0]
@@ -407,13 +471,24 @@ def _optimize(workers, vocab, labels, dim, n_feat, n_lab, rho1, rho2,
 
     t_start = _time.time()
     x = np.zeros(dim)
+    it0 = 0
+    step_prev = None
+    obj_tail: list = []
+    if ckpt is not None:
+        loaded = ckpt.load(dim)
+        if loaded is not None:
+            x, meta = loaded
+            it0 = int(meta["iteration"])
+            step_prev = meta.get("step_prev")
+            obj_tail = list(meta.get("obj_hist_tail", []))
+            if verbose:
+                print(f"[owlqn] resumed from iteration {it0}", flush=True)
     f, g = evaluate(x, True)
     obj = phi(f, x)
-    step_prev = None
     s_hist: list[np.ndarray] = []
     y_hist: list[np.ndarray] = []
-    obj_hist = [obj]
-    for it in range(max_iter):
+    obj_hist = obj_tail + [obj]
+    for it in range(it0, max_iter):
         pg = _pseudo_gradient(x, g, rho1)
         if not np.any(pg):
             break
@@ -490,6 +565,8 @@ def _optimize(workers, vocab, labels, dim, n_feat, n_lab, rho1, rho2,
             print(f"[owlqn] it={it + 1} obj={obj:.4f} nnz={nnz}/{dim} "
                   f"evals={n_evals[0]} t={_time.time() - t_start:.0f}s",
                   flush=True)
+        if ckpt is not None and (it + 1) % ckpt.every == 0:
+            ckpt.save(x, it + 1, obj_hist, step_prev)
         # Wapiti-style windowed relative-improvement stop
         if len(obj_hist) > window:
             prev = obj_hist[-window - 1]

@@ -145,3 +145,29 @@ def test_index_and_export_roundtrip():
     w, trans = to_dict_weights(W, T, vocab, labels)
     assert w == {"u:a": {"X": 1.5}}
     assert trans == {("X", "Y"): -0.25}
+
+
+def test_checkpoint_resume(ray_session, tmp_path):
+    """Long-run resumability: a checkpointed run continues from the saved
+    iteration, converges, and refuses a mismatched corpus fingerprint."""
+    seqs, labels = _toy_corpus()
+    ck = str(tmp_path / "ck")
+    # phase 1: 4 iterations, checkpoint every 2
+    train_crf_lbfgs(seqs, labels, rho1=0.1, max_iter=4, shards=1,
+                    checkpoint_dir=ck, checkpoint_every=2)
+    import json
+    import os
+
+    meta = json.load(open(os.path.join(ck, "ckpt.json")))
+    assert meta["iteration"] == 4
+    # phase 2: resume to 60 — decodes the training data perfectly
+    w, trans = train_crf_lbfgs(seqs, labels, rho1=0.1, max_iter=60, shards=1,
+                               checkpoint_dir=ck, checkpoint_every=2)
+    for fseq, gold in seqs:
+        assert _viterbi(fseq, labels, w, trans) == gold
+    meta = json.load(open(os.path.join(ck, "ckpt.json")))
+    assert meta["iteration"] > 4
+    # mismatched hyperparameters must refuse the checkpoint
+    with pytest.raises(ValueError, match="different"):
+        train_crf_lbfgs(seqs, labels, rho1=0.3, max_iter=4, shards=1,
+                        checkpoint_dir=ck)
