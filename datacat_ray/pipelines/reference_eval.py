@@ -1,10 +1,13 @@
 """Reproduce the reference's train/eval loop ON ITS OWN CORPUS
 (SURVEY.md §3.4; ``DatacatTrainerRunner.java:42-147``): read the committed
 TEI + raw feature pairs, align labels (J1), expand the reference's own
-CRF++ template, train a linear-chain model (parallel parameter-mixing
-perceptron — ``stages/train.py``), and evaluate on the committed
+CRF++ template, train a linear-chain model (averaged perceptron —
+``stages/train.py`` — or the reference's actual estimator family, OWL-QN
+elastic-net CRF — ``stages/crf_train.py``), and evaluate on the committed
 ``evaluation/`` split with per-label P/R/F1 in the reference's eval.txt
-layout.
+layout. Measured (BASELINE.md): CRF segmenter micro-F1 99.55 /
+perceptron 95.60 vs the reference's committed 37–52; CRF body 97.88 ==
+the shipped-Wapiti-weights decode.
 
 The reference's committed baselines for this corpus family are micro-F1
 37–52 across runs (BASELINE.md table); this loop is the engine's
