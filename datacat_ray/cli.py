@@ -300,6 +300,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--epochs", type=int, default=6)
     p.add_argument("--max-iter", type=int, default=1000)
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="make long CRF runs resumable (atomic parameter "
+                        "checkpoints every 10 accepted iterations)")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("create-training", help=cmd_create_training.__doc__)
