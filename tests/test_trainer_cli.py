@@ -157,3 +157,19 @@ def test_deploy_trained_model_in_cascade(exported_corpus, tmp_path,
     a, b = tok_labels(zones, n), tok_labels(zf, n)
     agree = sum(1 for x, y in zip(a, b) if x == y) / n
     assert agree >= 0.7, f"trained-vs-frozen zone agreement {agree:.2f}"
+
+
+def test_cli_train_command(exported_corpus, tmp_path, ray_session, capsys):
+    """The train subcommand end to end through argparse (catches missing
+    argument wiring the direct train_model tests can't see)."""
+    import os
+
+    from datacat_ray.cli import main
+
+    out = str(tmp_path / "m.json")
+    rc = main(["train", exported_corpus, "--trainer", "perceptron",
+               "--epochs", "2", "--train-pct", "100", "--out", out])
+    assert rc == 0 and os.path.exists(out)
+    captured = capsys.readouterr()
+    assert "micro" in captured.out
+    assert "TRAINING documents" in captured.out  # train_pct=100 disclosure
