@@ -24,6 +24,30 @@ class StageConfig:
     num_cpus: float = 1.0
 
 
+#: sequence-labeling engines this implementation provides. The reference's
+#: YAML schema also admits ``engine: "delft"`` (DL via the DeLFT library,
+#: ``DatacatConfiguration.java:38-55``, ``grobid-datacat.yaml:6-30``); that
+#: is a declared non-goal here (SURVEY §7.4) — requesting it must fail
+#: loudly at config load, never be silently decoded with a wapiti model.
+SUPPORTED_ENGINES = ("wapiti",)
+
+
+def validate_model_specs(specs: list) -> list:
+    """Validate a reference-style ``models:`` list (``[{name, engine,
+    wapiti: {...}}, ...]``). Returns the specs unchanged; raises
+    ``ValueError`` on an unsupported engine."""
+    for spec in specs:
+        eng = (spec or {}).get("engine", "wapiti")
+        if eng not in SUPPORTED_ENGINES:
+            raise ValueError(
+                f"model {spec.get('name', '?')!r}: engine {eng!r} is "
+                "unsupported (wapiti-family only — this implementation "
+                "covers the reference's CRF/wapiti engine; 'delft' deep "
+                "learning is a declared non-goal, SURVEY §7.4)"
+            )
+    return specs
+
+
 @dataclass
 class PipelineConfig:
     # guard rails (reference token/block caps, SURVEY.md M3/M4)
@@ -43,6 +67,9 @@ class PipelineConfig:
     # {"segmenter": path, "body": path} — the deploy leg of the
     # model-improvement loop
     model_paths: dict = field(default_factory=dict)
+    # reference-style ``models:`` spec list ({name, engine, wapiti:{...}});
+    # engines outside SUPPORTED_ENGINES are rejected at load
+    models: list = field(default_factory=list)
     # stage knobs
     dom: StageConfig = field(default_factory=lambda: StageConfig(batch_size=128))
     tokenize: StageConfig = field(default_factory=lambda: StageConfig(batch_size=128))
@@ -82,6 +109,8 @@ class PipelineConfig:
             cur = getattr(cfg, k)
             if isinstance(cur, StageConfig):
                 setattr(cfg, k, StageConfig(**v))
+            elif k == "models":
+                setattr(cfg, k, validate_model_specs(v))
             else:
                 setattr(cfg, k, v)
         return cfg

@@ -734,10 +734,13 @@ def label_propagation_parquet(
     raise RuntimeError(f"label propagation did not converge in {max_rounds} rounds")
 
 
-def _label_bucket_map(lab_dir: str, b: int) -> dict[int, int]:
-    """Per-worker LRU over one converged label bucket: {node: label}.
+def _label_bucket_map(lab_dir: str, b: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-worker LRU over one converged label bucket: (nodes sorted
+    ascending, aligned labels) as int64 arrays — callers probe with ONE
+    ``searchsorted`` per (batch, bucket), never a dict.get per row.
     Bounded memory at any corpus size (same shape as the paragraph-dedup
-    decision buckets)."""
+    decision buckets); the os.stat identity check runs once per (batch,
+    bucket), not per row."""
     import os
     from collections import OrderedDict
 
@@ -754,21 +757,24 @@ def _label_bucket_map(lab_dir: str, b: int) -> dict[int, int]:
     except FileNotFoundError:
         ident = None
     key = (lab_dir, b, ident)
-    d = _LP_CACHE.get(key)
-    if d is not None:
+    cached = _LP_CACHE.get(key)
+    if cached is not None:
         _LP_CACHE.move_to_end(key)
-        return d
+        return cached
     import pyarrow.parquet as pq
 
-    d = {}
     if ident is not None:
         t = pq.read_table(f)
-        d = dict(zip(t["node"].to_numpy().tolist(),
-                     t["label"].to_numpy().tolist()))
-    _LP_CACHE[key] = d
+        nodes = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(nodes, kind="stable")
+        cached = (nodes[order], labels[order])
+    else:
+        cached = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    _LP_CACHE[key] = cached
     while len(_LP_CACHE) > _LP_CACHE_MAX:
         _LP_CACHE.popitem(last=False)
-    return d
+    return cached
 
 
 def neardup_clusters(
@@ -784,10 +790,16 @@ def neardup_clusters(
     end-to-end consumer of the pair list -- keep ``doc_id == cluster_id``
     rows to deduplicate a corpus.
 
-    ``mode="driver"``: union-find over streamed pair batches + broadcast
+    The candidate-pair list is ALWAYS spilled straight to ``edges``
+    parquet (streaming write, never pinned in the object store — pairs are
+    corpus-proportional in exactly the regime distributed mode exists
+    for); the mode-picking count comes from parquet metadata and both
+    branches read the spilled files, so the pair pipeline runs once.
+
+    ``mode="driver"``: union-find over streamed edge batches + broadcast
     root map -- O(pairs) driver memory, right while pairs are much smaller
-    than the corpus. ``mode="distributed"``: pairs spilled to parquet,
-    components via ``label_propagation_parquet`` (O(1) driver state),
+    than the corpus. ``mode="distributed"``: components via
+    ``label_propagation_parquet`` (O(1) driver state),
     assignment via a map-only pass reading the converged label buckets
     through a per-worker LRU -- the 10^12-doc path, pinned equal to the
     driver path in tests (test_neardup_lp). ``"auto"`` switches on the
@@ -803,60 +815,87 @@ def neardup_clusters(
     singletons."""
     from datacat_ray.stages.bucketed import cached_ref, int_bucket_codes
 
-    pairs = minhash_candidate_pairs(sf_dir, threshold).materialize()  # tiny
+    import hashlib
+    import os
+    import tempfile
+
+    import pyarrow.dataset as pads
+
+    from datacat_ray.stages.dedup import clear_cache_dir
+
+    # spill the edge list straight to parquet (streaming write — the pair
+    # list is corpus-proportional in the regime that matters, so it is
+    # never pinned in the object store); the count that picks the mode
+    # comes from parquet METADATA, and both branches read the spilled
+    # files, so the pair pipeline executes exactly once
+    if work_dir is None:
+        digest = hashlib.sha1(
+            f"{sf_dir}:{threshold}".encode()
+        ).hexdigest()[:12]
+        work_dir = os.path.join(tempfile.gettempdir(), f"datacat_lp_{digest}")
+    edges_path = os.path.join(work_dir, "edges")
+
+    def _has_edges() -> bool:
+        return os.path.isdir(edges_path) and any(
+            f.endswith(".parquet") for f in os.listdir(edges_path)
+        )
+
+    if resume:
+        # keep checkpoints; only the edge list is rebuilt if missing
+        os.makedirs(edges_path, exist_ok=True)
+        if not _has_edges():
+            minhash_candidate_pairs(sf_dir, threshold).select_columns(
+                ["doc_a", "doc_b"]
+            ).write_parquet(edges_path)
+    else:
+        if os.path.isdir(work_dir):
+            # refuse to clear anything that is not LP artifacts — a
+            # blind rmtree of a caller-supplied path is how unrelated
+            # data gets destroyed (same guard as every other cache dir)
+            clear_cache_dir(
+                work_dir,
+                lambda f: f == "edges" or f.startswith("round-"),
+            )
+        os.makedirs(edges_path, exist_ok=True)
+        minhash_candidate_pairs(sf_dir, threshold).select_columns(
+            ["doc_a", "doc_b"]
+        ).write_parquet(edges_path)
+
+    n_pairs = (
+        pads.dataset(edges_path, format="parquet").count_rows()
+        if _has_edges()
+        else 0
+    )
     if mode == "auto":
-        mode = "distributed" if pairs.count() > _UF_MAX_PAIRS else "driver"
+        mode = "distributed" if n_pairs > _UF_MAX_PAIRS else "driver"
 
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
     )
 
     if mode == "distributed":
-        import hashlib
-        import os
-        import tempfile
-
-        from datacat_ray.stages.dedup import clear_cache_dir
-
-        if work_dir is None:
-            digest = hashlib.sha1(
-                f"{sf_dir}:{threshold}".encode()
-            ).hexdigest()[:12]
-            work_dir = os.path.join(tempfile.gettempdir(), f"datacat_lp_{digest}")
-        edges_path = os.path.join(work_dir, "edges")
-        if resume:
-            # keep checkpoints; only the edge list is rebuilt if missing
-            os.makedirs(edges_path, exist_ok=True)
-            if not any(f.endswith(".parquet")
-                       for f in os.listdir(edges_path)):
-                pairs.select_columns(["doc_a", "doc_b"]).write_parquet(
-                    edges_path)
-        else:
-            if os.path.isdir(work_dir):
-                # refuse to clear anything that is not LP artifacts — a
-                # blind rmtree of a caller-supplied path is how unrelated
-                # data gets destroyed (same guard as every other cache dir)
-                clear_cache_dir(
-                    work_dir,
-                    lambda f: f == "edges" or f.startswith("round-"),
-                )
-            os.makedirs(edges_path, exist_ok=True)
-            pairs.select_columns(["doc_a", "doc_b"]).write_parquet(edges_path)
         lab_dir = label_propagation_parquet(edges_path, work_dir)
 
         def _assign_lp(t: pa.Table) -> pa.Table:
             ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
-            if lab_dir is None:
-                cluster = ids.astype(np.int64)
-            else:
+            cluster = ids.astype(np.int64).copy()
+            if lab_dir is not None:
+                # group rows by bucket: each bucket's label file is
+                # loaded/statted ONCE per batch and probed with one
+                # vectorized searchsorted (a per-row lookup thrashes the
+                # LRU — the Knuth hash interleaves sequential doc_ids
+                # across all buckets within a batch)
                 codes = int_bucket_codes(ids, _LP_BUCKETS)
-                cluster = np.array(
-                    [
-                        _label_bucket_map(lab_dir, int(bc)).get(int(d), int(d))
-                        for d, bc in zip(ids, codes)
-                    ],
-                    dtype=np.int64,
-                )
+                for bc in np.unique(codes):
+                    nodes, labels = _label_bucket_map(lab_dir, int(bc))
+                    if nodes.size == 0:
+                        continue
+                    sel = np.flatnonzero(codes == bc)
+                    pos = np.searchsorted(nodes, cluster[sel])
+                    pos_c = np.minimum(pos, nodes.size - 1)
+                    found = nodes[pos_c] == cluster[sel]
+                    hit = sel[found]
+                    cluster[hit] = labels[pos_c[found]]
             return pa.Table.from_pydict(
                 {"doc_id": t["doc_id"],
                  "cluster_id": pa.array(cluster, type=pa.int64())}
@@ -874,11 +913,14 @@ def neardup_clusters(
             parent[x], x = r, parent[x]
         return r
 
-    for b in pairs.iter_batches(batch_format="pyarrow"):
-        for a, bb in zip(b["doc_a"].to_pylist(), b["doc_b"].to_pylist()):
-            ra, rb = find(a), find(bb)
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
+    if n_pairs:
+        for b in ray.data.read_parquet(edges_path).iter_batches(
+            batch_format="pyarrow"
+        ):
+            for a, bb in zip(b["doc_a"].to_pylist(), b["doc_b"].to_pylist()):
+                ra, rb = find(a), find(bb)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
     root = {x: find(x) for x in list(parent)}
     ref = ray.put(root)
 
@@ -1203,16 +1245,25 @@ def _hyperplanes(dim: int) -> np.ndarray:
     )
 
 
-def _unit_rows(batch: pa.Table) -> pa.Table:
-    """(vec_id, unit): unit-normalized vectors, computed once and reused by
-    the band explode and verification (the 'sig table' of this family)."""
-    vec_ids = np.array(batch["vec_id"].to_pylist(), dtype=np.int64)
+def _unit_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(vec_ids, unit-normalized matrix) from a RAW embeddings batch — the
+    one normalization implementation, shared by the band pass and the
+    verify pass so their float ops (and thus LSH sign bits) can never
+    diverge."""
     from datacat_ray.pipelines.similarity import vec_matrix
 
+    vec_ids = np.array(batch["vec_id"].to_pylist(), dtype=np.int64)
     embs = vec_matrix(batch["embedding"])
     norms = np.linalg.norm(embs, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
-    unit = embs / norms
+    return vec_ids, embs / norms
+
+
+def _unit_rows(batch: pa.Table) -> pa.Table:
+    """(vec_id, unit): unit-normalized vectors, streamed from the raw read
+    by the verify phase (never materialized — the 'sig table' of this
+    family lives in the source parquet, re-normalized on demand)."""
+    vec_ids, unit = _unit_matrix(batch)
     return pa.Table.from_pydict(
         {
             "vec_id": pa.array(vec_ids),
@@ -1225,14 +1276,12 @@ def _embed_band_rows(batch: pa.Table) -> pa.Table:
     """Each vector lands in one bucket PER TABLE (multi-table random-
     hyperplane LSH: with r=5 planes × B=10 tables, candidate recall at
     cosine 0.45 is ~0.7 and rises steeply with similarity — single-table
-    sign LSH has ~zero recall at moderate thresholds). Band rows are
-    NARROW (bucket, vec_id): shipping the unit vector with every one of
-    the B band rows multiplied shuffle volume ×10; verification fetches
-    vectors once per candidate instead."""
-    vec_ids = np.array(batch["vec_id"].to_pylist(), dtype=np.int64)
-    from datacat_ray.pipelines.similarity import vec_matrix
-
-    unit = vec_matrix(batch["unit"])
+    sign LSH has ~zero recall at moderate thresholds). Takes RAW embedding
+    rows and normalizes inline, so the band pass streams straight off the
+    parquet read. Band rows are NARROW (bucket, vec_id): shipping the unit
+    vector with every one of the B band rows multiplied shuffle volume
+    ×10; verification fetches vectors once per candidate instead."""
+    vec_ids, unit = _unit_matrix(batch)
     bits = (unit @ _hyperplanes(unit.shape[1]).T) > 0  # (n, B*r)
     bits = bits.reshape(len(unit), N_TABLES, N_PLANES)
     table_keys = bits @ (1 << np.arange(N_PLANES))  # (n, B)
@@ -1285,15 +1334,21 @@ def embedding_neardup_pairs(
     across tables, then exact-cosine verification with the unit vectors
     fetched once per candidate (streaming membership filter + broadcast —
     the same two-phase shape as MinHash; at beyond-driver candidate counts
-    the join path applies). Recall < 1 by construction (tune
-    N_TABLES/N_PLANES to the threshold; the driver testdata's max
-    off-diagonal cosine is ~0.51, so a 0.9-style threshold would be
-    vacuous there)."""
+    the join path applies). NOTHING row-count-proportional is ever pinned:
+    the band pass normalizes inline off the parquet read, and the verify
+    pass streams a fresh ``_unit_rows`` pass membership-filtered down to
+    candidate ids (re-normalizing a candidate vector costs ~nothing next
+    to re-reading it; at 100 TB the alternative — a unit-vector
+    ``materialize()`` — would pin the whole embeddings table). Recall < 1
+    by construction (tune N_TABLES/N_PLANES to the threshold; the driver
+    testdata's max off-diagonal cosine is ~0.51, so a 0.9-style threshold
+    would be vacuous there)."""
     from ray.data.aggregate import Count as _Count
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    units = ds.map_batches(_unit_rows, batch_format="pyarrow").materialize()
-    bands = units.map_batches(_embed_band_rows, batch_format="pyarrow")
+    # streamed (lazy) unit view for the verify phase — never materialized
+    units = ds.map_batches(_unit_rows, batch_format="pyarrow")
+    bands = ds.map_batches(_embed_band_rows, batch_format="pyarrow")
     cands = (
         bands.groupby("bucket")
         .map_groups(_embed_bucket_cands, batch_format="pyarrow")

@@ -16,14 +16,21 @@ from __future__ import annotations
 import json
 import os
 
+# reference checkout root: overridable because `train` is a user-facing
+# deploy-loop command that must work wherever the reference lives (the
+# /root/reference default matches the eval-harness convention)
+REFERENCE_DIR = os.environ.get("DATACAT_REFERENCE_DIR", "/root/reference")
+
 REF_TEMPLATES = {
-    "segmenter": (
-        "/root/reference/resources/dataset/datacat-segmenter/"
-        "crfpp-templates/datacat-segmenter.template"
+    "segmenter": os.path.join(
+        REFERENCE_DIR,
+        "resources/dataset/datacat-segmenter/"
+        "crfpp-templates/datacat-segmenter.template",
     ),
-    "body": (
-        "/root/reference/resources/dataset/datacat-body-segmentation/"
-        "crfpp-templates/datacat-body-segmentation.template"
+    "body": os.path.join(
+        REFERENCE_DIR,
+        "resources/dataset/datacat-body-segmentation/"
+        "crfpp-templates/datacat-body-segmentation.template",
     ),
 }
 N_FIELDS = {"segmenter": 33, "body": 24}
@@ -74,6 +81,12 @@ def train_model(
 
     fields = [f"f{i}" for i in range(N_FIELDS[model])]
     template_path = template_path or REF_TEMPLATES[model]
+    if not os.path.exists(template_path):
+        raise FileNotFoundError(
+            f"CRF++ template not found: {template_path}. Pass --template "
+            "explicitly, or point DATACAT_REFERENCE_DIR at a "
+            "grobid-datacat checkout (default /root/reference)."
+        )
     template_text = open(template_path).read()
     templates = parse_crfpp_template(template_text, fields)
 

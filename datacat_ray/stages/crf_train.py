@@ -415,8 +415,7 @@ class _Checkpoint:
         import json as _json
         import os
         meta_p = os.path.join(self.dir, "ckpt.json")
-        x_p = os.path.join(self.dir, "x.npy")
-        if not (os.path.exists(meta_p) and os.path.exists(x_p)):
+        if not os.path.exists(meta_p):
             return None
         with open(meta_p, encoding="utf-8") as fh:
             meta = _json.load(fh)
@@ -424,6 +423,11 @@ class _Checkpoint:
             raise ValueError(
                 f"checkpoint in {self.dir} was written by a different "
                 "corpus/hyperparameter combination; use a fresh dir")
+        # the json names its x file ("x.npy" = pre-versioning layout), so
+        # meta and parameters can never be mismatched halves of two saves
+        x_p = os.path.join(self.dir, meta.get("x_file", "x.npy"))
+        if not os.path.exists(x_p):
+            return None
         x = np.load(x_p)
         if x.shape[0] != dim:
             raise ValueError("checkpoint dimension mismatch")
@@ -431,17 +435,31 @@ class _Checkpoint:
 
     def save(self, x: np.ndarray, it: int, obj_hist: list,
              step_prev) -> None:
+        """One commit point: the x vector lands under a VERSIONED name
+        recorded inside ckpt.json, and the json os.replace is the single
+        atomic publish — a crash between the two writes leaves the
+        previous (x, meta) pair fully consistent (the old two-replace
+        scheme could pair a new x with a stale iteration/objective tail
+        and mis-evaluate the windowed stopping rule on resume)."""
         import json as _json
         import os
+        x_name = f"x-{it:06d}.npy"
         tmp = os.path.join(self.dir, f".tmp.x.{os.getpid()}.npy")
         np.save(tmp, x)
-        os.replace(tmp, os.path.join(self.dir, "x.npy"))
+        os.replace(tmp, os.path.join(self.dir, x_name))
         meta = {"fingerprint": self.fp, "iteration": it,
-                "obj_hist_tail": obj_hist[-8:], "step_prev": step_prev}
+                "obj_hist_tail": obj_hist[-8:], "step_prev": step_prev,
+                "x_file": x_name}
         tmp = os.path.join(self.dir, f".tmp.ckpt.{os.getpid()}.json")
         with open(tmp, "w", encoding="utf-8") as fh:
             _json.dump(meta, fh)
         os.replace(tmp, os.path.join(self.dir, "ckpt.json"))
+        for f in os.listdir(self.dir):  # GC superseded parameter vectors
+            if f.startswith("x") and f.endswith(".npy") and f != x_name:
+                try:
+                    os.remove(os.path.join(self.dir, f))
+                except OSError:
+                    pass
 
 
 def _optimize(workers, vocab, labels, dim, n_feat, n_lab, rho1, rho2,

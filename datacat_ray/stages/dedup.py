@@ -56,13 +56,13 @@ def _dedup_batch(batch: pa.Table, key: str, ts: str) -> pa.Table:
 DEFAULT_BUCKETS = 256  # shuffle partitions; scale ~ cluster cores × 2
 
 
-def _bucket_of(keys: list, n_buckets: int) -> list[int]:
-    """Deterministic (process-independent) key → bucket. crc32 is cheap per
-    short url; at larger batch widths swap in a vectorized hash (polars
-    ``hash_rows``) — semantics identical."""
-    import zlib
-
-    return [zlib.crc32(str(k).encode("utf-8")) % n_buckets for k in keys]
+def _bucket_of(keys: pa.Array | pa.ChunkedArray | list, n_buckets: int) -> np.ndarray:
+    """Deterministic (process-independent) key → bucket: the vectorized
+    polars 64-bit hash (one C call per column) mod n_buckets. Correctness
+    needs only that every capture of a key maps to ONE bucket on every
+    worker, which the pinned-seed hash guarantees."""
+    h = np.array(_key_hash64(keys), dtype=np.uint64)
+    return (h % np.uint64(n_buckets)).astype(np.int32)
 
 
 def dedup_latest(
@@ -85,8 +85,7 @@ def dedup_latest(
 
     def _add_bucket(b: pa.Table) -> pa.Table:
         return b.append_column(
-            "__bucket", pa.array(_bucket_of(b[key].to_pylist(), n_buckets),
-                                 type=pa.int32())
+            "__bucket", pa.array(_bucket_of(b[key], n_buckets))
         )
 
     def _dedup_bucket(g: pa.Table) -> pa.Table:
@@ -134,7 +133,7 @@ def compute_winners(
     Scale note (10^12 rows): the driver-side dict is the bench-scale
     shortcut; the winner set is what the scale path keeps distributed —
     hash-bucketed winner parquet + per-bucket dict load in the filter stage
-    (bucket id = crc32(url) % P, same function as ``_bucket_of``). The
+    (bucket id = hash64(url) % P, same hash as ``_bucket_of``). The
     shuffle cost is still only (url, ts) — the wide html column never
     moves either way.
 
@@ -321,25 +320,33 @@ class BucketWinnerFilter:
         self._max = max_cached
         from collections import OrderedDict
 
-        self._lru: "OrderedDict[int, dict]" = OrderedDict()
+        self._lru: "OrderedDict[int, tuple]" = OrderedDict()
 
-    def _bucket_dict(self, b: int) -> dict:
-        d = self._lru.get(b)
-        if d is not None:
+    def _bucket_arrays(self, b: int) -> tuple[np.ndarray, np.ndarray]:
+        """(h sorted ascending, aligned winner ts) for one bucket — arrays,
+        not a dict, so the probe is one ``searchsorted`` per batch instead
+        of a Python ``dict.get`` per row."""
+        cached = self._lru.get(b)
+        if cached is not None:
             self._lru.move_to_end(b)
-            return d
+            return cached
         import pyarrow.parquet as pq
 
         f = os.path.join(self._dir, f"bucket-{b:05d}.parquet")
         if os.path.exists(f):
             t = pq.read_table(f)
-            d = dict(zip(t["h"].to_pylist(), t[self._ts].to_pylist()))
+            h = t["h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            # object dtype keeps ts-equality semantics identical for
+            # string / int / null timestamps alike
+            w = np.array(t[self._ts].to_pylist(), dtype=object)
+            order = np.argsort(h, kind="stable")
+            cached = (h[order], w[order])
         else:  # bucket with zero keys is never written
-            d = {}
-        self._lru[b] = d
+            cached = (np.empty(0, dtype=np.uint64), np.empty(0, dtype=object))
+        self._lru[b] = cached
         while len(self._lru) > self._max:
             self._lru.popitem(last=False)
-        return d
+        return cached
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import numpy as np
@@ -349,12 +356,18 @@ class BucketWinnerFilter:
             return batch
         hashes = np.array(_key_hash64(batch[self._key]), dtype=np.uint64)
         buckets = (hashes % np.uint64(self._n)).astype(np.int64)
-        tss = batch[self._ts].to_pylist()
+        tss = np.array(batch[self._ts].to_pylist(), dtype=object)
         mask = np.zeros(n, dtype=bool)
         for b in np.unique(buckets):
-            d = self._bucket_dict(int(b))
-            for i in np.flatnonzero(buckets == b):
-                mask[i] = d.get(int(hashes[i])) == tss[i]
+            wh, wts = self._bucket_arrays(int(b))
+            if wh.size == 0:
+                continue
+            sel = np.flatnonzero(buckets == b)
+            pos = np.searchsorted(wh, hashes[sel])
+            pos_c = np.minimum(pos, wh.size - 1)
+            found = wh[pos_c] == hashes[sel]
+            hit = sel[found]
+            mask[hit] = wts[pos_c[found]] == tss[hit]
         return _dedup_batch(
             batch.filter(pa.array(mask)), self._key, self._ts
         )

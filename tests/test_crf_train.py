@@ -171,3 +171,39 @@ def test_checkpoint_resume(ray_session, tmp_path):
     with pytest.raises(ValueError, match="different"):
         train_crf_lbfgs(seqs, labels, rho1=0.3, max_iter=4, shards=1,
                         checkpoint_dir=ck)
+
+
+def test_checkpoint_single_commit_point(ray_session, tmp_path):
+    """r4 (ADVICE): the json replace is the one atomic publish. A crash
+    between the x write and the json write must leave the PREVIOUS
+    (x, meta) pair fully consistent — never a new parameter vector paired
+    with a stale iteration/objective tail."""
+    import json
+    import os
+
+    seqs, labels = _toy_corpus()
+    ck = str(tmp_path / "ck")
+    train_crf_lbfgs(seqs, labels, rho1=0.1, max_iter=4, shards=1,
+                    checkpoint_dir=ck, checkpoint_every=2)
+    meta = json.load(open(os.path.join(ck, "ckpt.json")))
+    committed = meta["x_file"]
+    x_committed = np.load(os.path.join(ck, committed))
+
+    # simulate the torn state: a NEWER x landed but the json never did
+    np.save(os.path.join(ck, "x-999999.npy"),
+            x_committed + 1.0)
+
+    from datacat_ray.stages.crf_train import _Checkpoint
+
+    loaded = _Checkpoint(ck, meta["fingerprint"], 2).load(x_committed.shape[0])
+    assert loaded is not None
+    x, m = loaded
+    assert m["iteration"] == meta["iteration"]
+    np.testing.assert_array_equal(x, x_committed)  # stale orphan ignored
+
+    # superseded vectors are GC'd on the next committed save
+    train_crf_lbfgs(seqs, labels, rho1=0.1, max_iter=8, shards=1,
+                    checkpoint_dir=ck, checkpoint_every=2)
+    meta2 = json.load(open(os.path.join(ck, "ckpt.json")))
+    npys = [f for f in os.listdir(ck) if f.endswith(".npy")]
+    assert npys == [meta2["x_file"]]

@@ -141,3 +141,38 @@ def test_approx_users_per_type(ray_session):
     for k, (e, a) in got.items():
         assert e == want[k], k
         assert abs(a - e) <= max(5, 0.1 * e), (k, a, e)  # ~1.6% typical
+
+
+def test_embedding_neardup_pairs_exact_precision(ray_session, tmp_path):
+    """r4: the embedding near-dup path streams straight off the parquet
+    read (no full-table ``materialize()``). Pinned behavior: every emitted
+    pair's cosine matches the brute-force value and clears the threshold
+    (exact precision), and planted colinear duplicates — which land in the
+    same LSH bucket in every table by construction — are all recalled."""
+    from datacat_ray.pipelines.dedup_ops import embedding_neardup_pairs
+
+    rng = np.random.RandomState(7)
+    vecs = rng.standard_normal((40, 16))
+    vecs[10] = vecs[3]          # exact duplicate: cosine 1.0
+    vecs[25] = 2.5 * vecs[7]    # scaled duplicate: cosine 1.0
+    d = _write_embeddings(
+        tmp_path, [list(map(float, v)) for v in vecs], [0] * len(vecs)
+    )
+
+    out = embedding_neardup_pairs(d, threshold=0.9).to_pandas()
+    got = {
+        (int(a), int(b)): c
+        for a, b, c in zip(out["vec_a"], out["vec_b"], out["cosine"])
+    }
+    assert {(3, 10), (7, 25)} <= set(got)
+
+    # brute-force oracle over the float32 values actually stored
+    stored = np.array(
+        pq.read_table(f"{d}/embeddings.parquet")["embedding"].to_pylist(),
+        dtype=np.float64,
+    )
+    unit = stored / np.linalg.norm(stored, axis=1, keepdims=True)
+    for (a, b), c in got.items():
+        ref = float(unit[a] @ unit[b])
+        assert ref >= 0.9 - 1e-9, (a, b, ref)
+        assert abs(ref - c) < 1e-5, (a, b, ref, c)
