@@ -44,6 +44,35 @@ def _host_burn() -> float:
     return round(time.time() - t0, 2)
 
 
+def _parallel_burn(n: int = 16) -> float:
+    """Worst per-process seconds of ``n`` SIMULTANEOUS single-thread burns
+    (~0.5 s each quiet). The single-thread burn UNDERSTATES contention —
+    BASELINE.md's round-3 addendum records a window where it read healthy
+    (2.0 s) while 16-way probes took 5-6 s (the VM had ~2 effective cores
+    of 32). Embedding this in every bench line makes starved windows
+    machine-detectable from the JSON alone: quiet ≈ the solo time,
+    starved = multiples of it."""
+    code = (
+        "import time,numpy as np;"
+        "a=np.random.RandomState(0).rand(1200,1200);t0=time.time();"
+        "[(a@a).sum() for _ in range(3)];print(time.time()-t0)"
+    )
+    env = dict(
+        os.environ,
+        OMP_NUM_THREADS="1",
+        OPENBLAS_NUM_THREADS="1",
+        MKL_NUM_THREADS="1",
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", code], stdout=subprocess.PIPE, env=env
+        )
+        for _ in range(n)
+    ]
+    times = [float(p.communicate()[0]) for p in procs]
+    return round(max(times), 2)
+
+
 def _pages_path(sf_dir: str, repeat: int = 1) -> str:
     """Materialize the bench page table once per (sf_dir, repeat)
     (deterministic wrap of the documents table into the Common-Crawl page
@@ -244,6 +273,7 @@ def main() -> None:
             "trials": args.trials,
             "all_round_efficiencies": [round(e, 4) for e, _, _ in rounds],
             "host_burn_sec": _host_burn(),
+            "parallel_burn_sec_16": _parallel_burn(),
         }))
         return
 
@@ -273,6 +303,7 @@ def main() -> None:
             res["extract_docs"] / res["extract_sec"], 2
         ) if res["extract_sec"] else 0.0,
         "host_burn_sec": _host_burn(),
+        "parallel_burn_sec_16": _parallel_burn(),
     }))
     ray.shutdown()
 

@@ -325,7 +325,7 @@ class AudioFrameSampler:
 # per-frame stats are the same shape either way.
 
 from datacat_ray.functions.avi import (  # noqa: E402 — section-local import
-    decode_avi_frame,
+    decode_video_frame,
     encode_avi,
     parse_avi_header,
 )
@@ -367,9 +367,11 @@ class VideoFrameSampler:
 
     @staticmethod
     def decode_frame(payload: bytes, frame_idx: int) -> "np.ndarray":
-        """AVI bytes + frame index → uint8 (h, w, 3) RGB pixels (the
-        production seam: swap for an ffmpeg/decord call, same signature)."""
-        return decode_avi_frame(payload, frame_idx)
+        """AVI bytes + frame index → uint8 (h, w, 3) RGB pixels. Routes
+        through the codec seam: BI_RGB decodes in pure Python; compressed
+        codecs use ffmpeg when installed, else raise ``UnsupportedCodec``
+        (→ the document's ``valid=False`` poison-row path)."""
+        return decode_video_frame(payload, frame_idx)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = {"doc_id": [], "width": [], "height": [], "fps": [],

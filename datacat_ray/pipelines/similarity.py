@@ -311,17 +311,25 @@ def build_ivf_index(
 
 def ivf_topk(
     sf_dir: str, query_vec_id: int = 0, k: int = 10,
-    index_dir: str | None = None, nprobe: int = IVF_NPROBE,
+    index_dir: str | None = None, nprobe: int | str = IVF_NPROBE,
+    target_recall: float = 0.8,
 ) -> pa.Table:
     """Approximate top-k over the bucket-partitioned IVF index: the probe
     reads ONLY the ``nprobe`` cells whose centroids are closest to the
     query (4 of 32 partitions by default) — a partition-pruned read, not a
-    full scan with a filter. Recall vs brute force is recorded in
-    BASELINE.md; results within the probed cells are exact (stored unit
-    vectors, one matmul per batch)."""
+    full scan with a filter. ``nprobe="auto"`` makes the knob a CONTRACT:
+    ``select_nprobe`` picks the smallest nprobe whose measured recall@k on
+    a held-out query sample meets ``target_recall`` (selection cached with
+    the index). Recall vs brute force is recorded in BASELINE.md; results
+    within the probed cells are exact (stored unit vectors, one matmul per
+    batch)."""
     import os
 
     index_dir = build_ivf_index(sf_dir, index_dir)
+    if nprobe == "auto":
+        nprobe, _ = select_nprobe(
+            sf_dir, target_recall=target_recall, k=k, index_dir=index_dir
+        )
     cent = np.load(os.path.join(index_dir, "centroids.npy"))
     q = _load_query_vec(sf_dir, query_vec_id)
     probe = np.argsort(-(cent @ q))[:nprobe].tolist()
@@ -372,6 +380,121 @@ def ivf_topk(
 # ---------------------------------------------------------------------------
 # per-label embedding centroids (distributed vector mean)
 # ---------------------------------------------------------------------------
+
+
+def ivf_recall_curve(
+    sf_dir: str, k: int = 10, n_queries: int = 16,
+    index_dir: str | None = None,
+) -> np.ndarray:
+    """Measured recall@k for EVERY nprobe in one streaming pass: element
+    ``p-1`` is the mean (over a deterministic query sample) fraction of
+    true top-k neighbors living in the query's ``p`` closest cells.
+
+    The trick that makes the whole curve cost ONE pass over the index
+    (instead of nprobe × queries probe runs): the pass computes, per
+    query, the exact brute-force top-k AND each neighbor's cell (recomputed
+    from the broadcast centroids — the same ``ivf_bucket_of`` the build
+    used, so it cannot diverge from the layout). A neighbor is recalled at
+    nprobe=p iff its cell ranks < p in the query's centroid ordering —
+    pure driver-side arithmetic on Q×k tiny rows. Scale shape: one matmul
+    per batch against a broadcast (Q, dim) matrix, ≤ Q×k rows per block to
+    the merge."""
+    import os
+
+    index_dir = build_ivf_index(sf_dir, index_dir)
+    cent = np.load(os.path.join(index_dir, "centroids.npy"))
+    src = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    qs = src.limit(n_queries).take_all()
+    q_ids = np.array([r["vec_id"] for r in qs], dtype=np.int64)
+    Q = np.array([r["embedding"] for r in qs], dtype=np.float64)
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    Q = Q / qn
+    state_ref = ray.put((q_ids, Q, cent))
+
+    def _local(batch: pa.Table) -> pa.Table:
+        qids, qmat, c = ray.get(state_ref)
+        ids, unit = _unit_rows(batch)
+        sims = unit @ qmat.T  # (n, Q)
+        buckets = ivf_bucket_of(unit, c)
+        qi_col, id_col, sim_col, b_col = [], [], [], []
+        for qi in range(len(qids)):
+            mask = ids != qids[qi]
+            s = sims[mask, qi]
+            sel = np.flatnonzero(mask)
+            if len(sel) > k:
+                part = np.argpartition(-s, k)[:k]
+                sel, s = sel[part], s[part]
+            qi_col.append(np.full(len(sel), qi, dtype=np.int64))
+            id_col.append(ids[sel])
+            sim_col.append(s)
+            b_col.append(buckets[sel])
+        return pa.Table.from_pydict(
+            {
+                "qi": pa.array(np.concatenate(qi_col)),
+                "vec_id": pa.array(np.concatenate(id_col)),
+                "sim": pa.array(np.concatenate(sim_col)),
+                "bucket": pa.array(np.concatenate(b_col)),
+            }
+        )
+
+    # ≤ Q×k rows per block survive the local stage — the driver merge is tiny
+    cand = src.map_batches(_local, batch_format="pyarrow").take_all()
+    n_cells = len(cent)
+    hits = np.zeros((len(q_ids), n_cells), dtype=np.int64)
+    denom = np.zeros(len(q_ids), dtype=np.int64)
+    by_q: dict[int, list] = {}
+    for r in cand:
+        by_q.setdefault(r["qi"], []).append(r)
+    for qi, rows in by_q.items():
+        rows.sort(key=lambda r: (-r["sim"], r["vec_id"]))
+        top = rows[:k]
+        denom[qi] = len(top)
+        # rank of each cell in this query's centroid ordering
+        order = np.argsort(-(cent @ Q[qi]), kind="stable")
+        cell_rank = np.empty(n_cells, dtype=np.int64)
+        cell_rank[order] = np.arange(n_cells)
+        for r in top:
+            hits[qi, cell_rank[r["bucket"]]] += 1
+    denom[denom == 0] = 1
+    per_q = np.cumsum(hits, axis=1) / denom[:, None]
+    return per_q.mean(axis=0)
+
+
+def select_nprobe(
+    sf_dir: str, target_recall: float = 0.8, k: int = 10,
+    n_queries: int = 16, index_dir: str | None = None,
+) -> tuple[int, float]:
+    """The nprobe CONTRACT: smallest nprobe whose measured recall@k on the
+    query sample meets ``target_recall`` (falls back to every cell — exact
+    search — if the curve never does). Returns (nprobe, measured_recall).
+    The selection is cached next to the index keyed by its parameters, so
+    repeated probes pay zero passes."""
+    import json
+    import os
+
+    index_dir = build_ivf_index(sf_dir, index_dir)
+    cache = os.path.join(index_dir, "nprobe.json")
+    key = f"k={k},q={n_queries},t={target_recall}"
+    if os.path.exists(cache):
+        with open(cache) as fh:
+            d = json.load(fh)
+        if key in d:
+            return int(d[key][0]), float(d[key][1])
+    else:
+        d = {}
+    curve = ivf_recall_curve(sf_dir, k=k, n_queries=n_queries,
+                             index_dir=index_dir)
+    meets = np.flatnonzero(curve >= target_recall)
+    p = int(meets[0]) + 1 if len(meets) else len(curve)
+    d[key] = [p, float(curve[p - 1])]
+    tmp = cache + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(d, fh)
+    os.replace(tmp, cache)
+    return p, float(curve[p - 1])
 
 
 def label_centroids(sf_dir: str) -> pa.Table:

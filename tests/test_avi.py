@@ -62,3 +62,84 @@ def test_video_sampler_invalid_payload_row(ray_session):
     out = VideoFrameSampler()(t)
     assert out["valid"].to_pylist() == [False, False]
     assert out["n_frames"].to_pylist() == [0, 0]
+
+
+def _patch_compression(payload: bytes, fourcc: bytes) -> bytes:
+    """Flip the stream's biCompression from BI_RGB to a codec fourcc —
+    a 'compressed' AVI for seam tests without needing an encoder."""
+    from datacat_ray.functions.avi import _strf_offset
+
+    off = _strf_offset(payload) + 16  # biCompression within BITMAPINFOHEADER
+    return payload[:off] + fourcc + payload[off + 4:]
+
+
+def test_codec_seam_dispatch():
+    """r4: the decode seam — BI_RGB goes pure Python (identical output);
+    a compressed stream without ffmpeg raises UnsupportedCodec naming the
+    codec and the fix, which the sampler maps to valid=False."""
+    import datacat_ray.functions.avi as A
+
+    frames = _frames(3, 8, 8, seed=3)
+    p = encode_avi(frames, 24)
+    assert A.avi_compression(p) == 0
+    assert (A.decode_video_frame(p, 1) == decode_avi_frame(p, 1)).all()
+
+    comp = _patch_compression(p, b"XVID")
+    assert A.avi_compression(comp) != 0
+    # header parse is codec-independent
+    assert parse_avi_header(comp) == (3, 8, 8, 24)
+    old = A._FFMPEG
+    A._FFMPEG = False  # force the no-ffmpeg leg regardless of host
+    try:
+        with pytest.raises(A.UnsupportedCodec, match="XVID"):
+            A.decode_video_frame(comp, 0)
+    finally:
+        A._FFMPEG = old
+
+
+def test_video_sampler_compressed_payload_is_poison_row(ray_session):
+    """A compressed video on a host without ffmpeg becomes a valid=False
+    row, never a pipeline crash."""
+    import pyarrow as pa
+
+    import datacat_ray.functions.avi as A
+    from datacat_ray.pipelines.multimodal import VideoFrameSampler
+
+    comp = _patch_compression(encode_avi(_frames(3, 8, 8), 24), b"XVID")
+    batch = pa.Table.from_pydict(
+        {"doc_id": pa.array([1], pa.int64()),
+         "video": pa.array([comp], pa.binary())}
+    )
+    old = A._FFMPEG
+    A._FFMPEG = False
+    try:
+        out = VideoFrameSampler()(batch)
+    finally:
+        A._FFMPEG = old
+    assert out["valid"].to_pylist() == [False]
+
+
+@pytest.mark.skipif(
+    not __import__("datacat_ray.functions.avi", fromlist=["has_ffmpeg"]).has_ffmpeg(),
+    reason="ffmpeg not installed (sandbox) — seam exercised via dispatch tests",
+)
+def test_ffmpeg_leg_lossless_roundtrip(tmp_path):
+    """With ffmpeg present: transcode the uncompressed AVI to lossless
+    FFV1 and decode a frame through the subprocess leg — bytes equal."""
+    import subprocess
+
+    import datacat_ray.functions.avi as A
+
+    frames = _frames(4, 16, 16, seed=9)
+    src = tmp_path / "src.avi"
+    dst = tmp_path / "ffv1.avi"
+    src.write_bytes(encode_avi(frames, 25))
+    subprocess.run(
+        ["ffmpeg", "-loglevel", "error", "-i", str(src),
+         "-c:v", "ffv1", "-y", str(dst)],
+        check=True,
+    )
+    payload = dst.read_bytes()
+    assert A.avi_compression(payload) != 0
+    got = A.decode_video_frame(payload, 2)
+    assert (got == frames[2]).all()

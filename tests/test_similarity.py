@@ -52,3 +52,48 @@ def test_ivf_recall_vs_brute_force(ray_session, tmp_path):
         iv = set(S.ivf_topk(sf, q, 10, index_dir=idx)["vec_id"].to_pylist())
         recalls.append(len(bf & iv) / 10)
     assert sum(recalls) / len(recalls) >= 0.3
+
+
+def test_ivf_nprobe_auto_selection_contract(ray_session, tmp_path):
+    """r4: nprobe is a CONTRACT — select_nprobe picks the smallest nprobe
+    whose measured recall@k on the query sample meets the target, the
+    curve is monotone and reaches 1.0 at nprobe=K (probing every cell =
+    exact search), and a probe run at the selected nprobe realizes the
+    predicted per-query recall."""
+    import numpy as np
+
+    from datacat_ray.pipelines import similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "ivf3")
+    curve = S.ivf_recall_curve(sf, k=10, n_queries=8, index_dir=idx)
+    assert np.all(np.diff(curve) >= -1e-12)      # monotone nondecreasing
+    assert abs(curve[-1] - 1.0) < 1e-12           # all cells = exact
+
+    p, measured = S.select_nprobe(sf, target_recall=0.8, k=10,
+                                  n_queries=8, index_dir=idx)
+    assert measured >= 0.8
+    assert measured == curve[p - 1]
+    if p > 1:  # smallest such nprobe
+        assert curve[p - 2] < 0.8
+
+    # cached second call: no recompute, same answer
+    assert S.select_nprobe(sf, target_recall=0.8, k=10,
+                           n_queries=8, index_dir=idx) == (p, measured)
+
+    # realized recall at the selected nprobe matches the prediction:
+    # mean over the same sample, ±1 neighbor slack for sim ties
+    qids = [r["vec_id"] for r in __import__("ray").data.read_parquet(
+        f"{sf}/embeddings.parquet", columns=["vec_id"]).limit(8).take_all()]
+    realized = []
+    for q in qids:
+        bf = set(S.brute_force_topk(sf, q, 10)["vec_id"].to_pylist())
+        iv = set(S.ivf_topk(sf, q, 10, index_dir=idx,
+                            nprobe=p)["vec_id"].to_pylist())
+        realized.append(len(bf & iv) / 10)
+    assert sum(realized) / len(realized) >= measured - 0.1
+
+    # the "auto" knob routes through the cached contract
+    auto = S.ivf_topk(sf, qids[0], 10, index_dir=idx, nprobe="auto")
+    fixed = S.ivf_topk(sf, qids[0], 10, index_dir=idx, nprobe=p)
+    assert auto.equals(fixed)
