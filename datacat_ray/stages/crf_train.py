@@ -168,13 +168,27 @@ class ShardState:
     log-space), so the per-step Python cost is one set of [S, L] numpy
     ops for the whole shard rather than per-token calls per sequence.
     Preallocated: the [S, N, L] tensors, the emission matrix, and the
-    gradient vector are built once and refilled per call — fresh
+    gradient rows are built once and refilled per call — fresh
     allocations re-fault hundreds of MB of pages per evaluation, which
     measured ~10× slower when many shards run concurrently.
+
+    Scale shape (the r3 "bandwidth wall" fix): per evaluation a shard
+    touches ONLY its own distinct features (``uniq``) — the weight gather
+    reads a shard-local ``Wu = W[uniq]`` table (cache-resident; the old
+    path random-gathered rows of the full n_feat×L matrix) and the
+    gradient comes back SPARSE as (uniq, rows) via one sorted
+    ``reduceat`` per label (the old per-label ``bincount`` wrote an
+    n_feat-wide output per label per shard per eval — O(dim) work per
+    worker that made extra workers useless). Hot buffers are ``dtype``
+    (float32 by default — halves every stream; objective/score terms
+    still accumulate in float64, and the gradient segment sums reduce in
+    float64, so FD checks stay green); pass float64 to reproduce the
+    log-space reference to full precision.
     """
 
-    def __init__(self, shard, n_feat: int, n_lab: int):
+    def __init__(self, shard, n_feat: int, n_lab: int, dtype=np.float32):
         self.n_feat, self.L = n_feat, n_lab
+        self.dtype = dtype
         order = sorted(range(len(shard)), key=lambda i: -len(shard[i][1]))
         seqs = [shard[i] for i in order]
         self.empty = not seqs
@@ -186,8 +200,19 @@ class ShardState:
         S, N = len(seqs), int(lens[0])
         self.lens, self.S, self.N = lens, S, N
         self.K = K = seqs[0][0].shape[1]
-        self.flat = np.concatenate([f.ravel() for f, _ in seqs])
+        flat = np.concatenate([f.ravel() for f, _ in seqs])
         self.total = total = int(lens.sum())
+        # shard-local feature ids: every eval touches only these rows of W
+        self.uniq = np.unique(flat)
+        self.flat_inv = np.searchsorted(self.uniq, flat).astype(np.int32)
+        # sorted-segment layout for the sparse gradient: instance e of
+        # feature uniq[j] lives at position g_pos[...] in the shard
+        g_order = np.argsort(self.flat_inv, kind="stable")
+        self.g_pos = (g_order // K).astype(np.int64)
+        counts = np.bincount(self.flat_inv, minlength=len(self.uniq))
+        starts = np.zeros(len(self.uniq), dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        self.g_starts = starts
         offs = np.zeros(S + 1, dtype=np.int64)
         np.cumsum(lens, out=offs[1:])
         self.offs = offs
@@ -204,35 +229,40 @@ class ShardState:
         self.t_i, self.t_j = ti, tj
         # per-step active masks, precomputed ([N, S] bools)
         self.active = lens[None, :] > np.arange(N)[:, None]
-        # warm buffers
-        self.Ecat = np.empty((total, L))
-        self.Ee = np.ones((S, N, L))
-        self.A = np.empty((S, N, L))
-        self.C = np.ones((S, N))
-        self.gamma = np.empty((S, N, L))
-        self.rep = np.empty((total, K))
-        self.out = np.empty(self.dim, dtype=np.float32)
+        # warm buffers (dtype: float32 halves every bandwidth-bound stream)
+        self.Ecat = np.empty((total, L), dtype=dtype)
+        self.Ee = np.ones((S, N, L), dtype=dtype)
+        self.A = np.empty((S, N, L), dtype=dtype)
+        self.C = np.ones((S, N), dtype=dtype)
+        self.gamma = np.empty((S, N, L), dtype=dtype)
+        self.rows = np.empty((len(self.uniq), L), dtype=np.float32)
+        self.seg64 = np.empty(total * K)  # float64 reduceat input
 
-    def value_grad(
+    def value_grad_sparse(
         self, x: np.ndarray, want_grad: bool
-    ) -> tuple[float, np.ndarray | None]:
+    ) -> tuple[float, np.ndarray | None, np.ndarray | None, np.ndarray | None]:
+        """(nll, uniq, gW_rows, gT): the gradient restricted to this
+        shard's features — O(shard) bytes, never O(dim)."""
         n_feat, L = self.n_feat, self.L
         if self.empty:
-            z = np.zeros(self.dim, dtype=np.float32) if want_grad else None
-            return 0.0, z
+            return 0.0, None, None, None
+        dt = self.dtype
         W = x[: n_feat * L].reshape(n_feat, L)
         T = x[n_feat * L:].reshape(L, L)
         m_t = float(T.max())
-        expT = np.exp(T - m_t)
+        expT = np.exp(T - m_t).astype(dt)
         S, N, K, total = self.S, self.N, self.K, self.total
-        lens, offs, flat = self.lens, self.offs, self.flat
+        lens, offs, flat_inv = self.lens, self.offs, self.flat_inv
         Ecat, Ee, A, C = self.Ecat, self.Ee, self.A, self.C
 
-        # emissions for the whole shard in one (chunked) gather
-        for c0 in range(0, total, 262144):
-            c1 = min(total, c0 + 262144)
+        # shard-local weight table: u random reads of W ONCE per eval,
+        # then every emission gather hits the compact (cache-sized) Wu
+        Wu = W[self.uniq].astype(dt)
+        chunk = max(1, (1 << 21) // (K * L))  # intermediate ~2M elements
+        for c0 in range(0, total, chunk):
+            c1 = min(total, c0 + chunk)
             Ecat[c0:c1] = (
-                W.take(flat[c0 * K: c1 * K], axis=0)
+                Wu.take(flat_inv[c0 * K: c1 * K], axis=0)
                 .reshape(c1 - c0, K, L)
                 .sum(axis=1)
             )
@@ -253,17 +283,20 @@ class ShardState:
             A[:, t] = np.where(active[:, None], v / safe[:, None], A[:, t - 1])
             C[:, t] = safe
 
-        log_z = np.log(C).sum(axis=1) + (lens - 1) * m_t
-        log_z_sum = float(log_z.sum() + m_e.sum())
-        score = float(Ecat[self.gold_rows, self.gold_cat].sum()
-                      + T[self.t_i, self.t_j].sum())
+        # objective terms accumulate in float64 whatever the buffer dtype
+        log_z = np.log(C, dtype=np.float64).sum(axis=1) + (lens - 1) * m_t
+        log_z_sum = float(log_z.sum() + m_e.sum(dtype=np.float64))
+        score = float(
+            Ecat[self.gold_rows, self.gold_cat].sum(dtype=np.float64)
+            + T[self.t_i, self.t_j].sum()
+        )
         nll = log_z_sum - score
         if not want_grad:
-            return nll, None
+            return nll, None, None, None
 
         gamma = self.gamma
-        gT = -self.emp_trans  # expected minus empirical
-        b = np.ones((S, L))
+        gT = -self.emp_trans.copy()  # expected minus empirical (float64)
+        b = np.ones((S, L), dtype=dt)
         gamma[:, N - 1] = A[:, N - 1]
         for t in range(N - 1, 0, -1):
             active = self.active[t]
@@ -279,15 +312,28 @@ class ShardState:
         for s in range(S):
             dcat[offs[s]: offs[s + 1]] = gamma[s, : lens[s]]
         dcat[self.gold_rows, self.gold_cat] -= 1.0
-        out = self.out
-        gW = out[: n_feat * L].reshape(n_feat, L)
-        rep = self.rep
+        # sparse rows: one float64 segment-sum per label over the sorted
+        # feature-instance layout (cache-resident gather source)
+        rows = self.rows
+        seg = self.seg64
         for l in range(L):
-            rep[:] = dcat[:, l][:, None]
-            gW[:, l] = np.bincount(
-                flat, weights=rep.ravel(), minlength=n_feat
-            )
-        out[n_feat * L:] = gT.ravel()
+            seg[:] = dcat[:, l][self.g_pos]
+            rows[:, l] = np.add.reduceat(seg, self.g_starts)
+        return nll, self.uniq, rows, gT
+
+    def value_grad(
+        self, x: np.ndarray, want_grad: bool
+    ) -> tuple[float, np.ndarray | None]:
+        """Dense-gradient wrapper (tests / single-process callers)."""
+        nll, uniq, rows, gT = self.value_grad_sparse(x, want_grad)
+        if not want_grad:
+            return nll, None
+        n_feat, L = self.n_feat, self.L
+        out = np.zeros(self.dim, dtype=np.float32)
+        if uniq is not None:
+            gW = out[: n_feat * L].reshape(n_feat, L)
+            gW[uniq] = rows
+            out[n_feat * L:] = gT.ravel().astype(np.float32)
         return nll, out
 
 
@@ -308,13 +354,17 @@ def _shard_value_grad(
 class CRFShardWorker:
     """One training shard pinned in an actor (the repo's standard stateful
     stage shape: state in ``__init__``, work per call) — holds a warm
-    ``ShardState`` so per-iteration cost is pure compute."""
+    ``ShardState`` so per-iteration cost is pure compute. Gradients leave
+    the actor SPARSE ((uniq, rows, gT), O(shard features) bytes) — the
+    dense O(dim) per-worker return was the r3 bandwidth wall: at dim 7.5M
+    every worker shipped a 30 MB vector per iteration and the driver
+    folded shards×dim serially."""
 
     def __init__(self, shard, n_feat: int, n_lab: int):
         self._state = ShardState(shard, n_feat, n_lab)
 
     def value_grad(self, x: np.ndarray, want_grad: bool):
-        return self._state.value_grad(x, want_grad)
+        return self._state.value_grad_sparse(x, want_grad)
 
 
 # ---------------------------------------------------------------------------
@@ -478,9 +528,16 @@ def _optimize(workers, vocab, labels, dim, n_feat, n_lab, rho1, rho2,
         f = nll + 0.5 * rho2 * float(x @ x)
         if not want_grad:
             return f, None
+        # sparse scatter-add fold, fixed order: O(Σ shard features), not
+        # O(shards × dim) — each worker's uniq rows are disjoint within
+        # itself, so fancy-index += is exact
         g = np.zeros(dim)
-        for p in parts:  # fixed reduction order; float64 accumulator
-            g += p[1]
+        gW = g[: n_feat * n_lab].reshape(n_feat, n_lab)
+        gT = g[n_feat * n_lab:].reshape(n_lab, n_lab)
+        for p in parts:
+            if p[1] is not None:
+                gW[p[1]] += p[2]
+                gT += p[3]
         g += rho2 * x
         return f, g
 

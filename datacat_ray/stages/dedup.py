@@ -299,6 +299,20 @@ def compute_winners_parquet(
     return out_dir
 
 
+def _ts_np(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Timestamp column → numpy for vectorized equality. Null-free columns
+    take the no-boxing ``to_numpy`` path (int64/str in C); columns WITH
+    nulls fall back to object dtype via ``to_pylist`` so a null compares
+    as Python ``None`` on both sides (``to_numpy`` would turn a null int
+    into NaN, and NaN != NaN would silently drop every null-ts winner)."""
+    if col.null_count == 0:
+        a = col.to_numpy(zero_copy_only=False)
+        # numeric/bool dtypes compare exactly; anything else (strings,
+        # dates) already lands as object
+        return a
+    return np.array(col.to_pylist(), dtype=object)
+
+
 class BucketWinnerFilter:
     """Actor-pool filter stage: keeps an LRU of per-bucket winner dicts so
     each worker holds at most ``max_cached`` × (cardinality / n_buckets)
@@ -336,9 +350,7 @@ class BucketWinnerFilter:
         if os.path.exists(f):
             t = pq.read_table(f)
             h = t["h"].to_numpy(zero_copy_only=False).astype(np.uint64)
-            # object dtype keeps ts-equality semantics identical for
-            # string / int / null timestamps alike
-            w = np.array(t[self._ts].to_pylist(), dtype=object)
+            w = _ts_np(t[self._ts])
             order = np.argsort(h, kind="stable")
             cached = (h[order], w[order])
         else:  # bucket with zero keys is never written
@@ -356,7 +368,7 @@ class BucketWinnerFilter:
             return batch
         hashes = np.array(_key_hash64(batch[self._key]), dtype=np.uint64)
         buckets = (hashes % np.uint64(self._n)).astype(np.int64)
-        tss = np.array(batch[self._ts].to_pylist(), dtype=object)
+        tss = _ts_np(batch[self._ts])
         mask = np.zeros(n, dtype=bool)
         for b in np.unique(buckets):
             wh, wts = self._bucket_arrays(int(b))

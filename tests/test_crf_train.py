@@ -31,7 +31,14 @@ def test_gradient_matches_finite_differences():
     feats, gold = _tiny_problem(rng, F=F, L=L)
     x = rng.normal(scale=0.3, size=F * L + L * L)
 
-    _, g = _shard_value_grad(x, [(feats, gold)], F, L, want_grad=True)
+    # FD needs a float64 objective (eps=1e-6 differences are below float32
+    # resolution); dtype=float64 runs the SAME sparse kernel in double —
+    # the float32 production default is pinned against this kernel in
+    # test_batched_kernel_matches_logspace_reference
+    from datacat_ray.stages.crf_train import ShardState
+
+    st = ShardState([(feats, gold)], F, L, dtype=np.float64)
+    _, g = st.value_grad(x, True)
     g = g.astype(np.float64)
     eps = 1e-6
     idxs = list(range(0, F * L + L * L, 5)) + [F * L + 1, F * L + L * L - 1]
@@ -39,8 +46,8 @@ def test_gradient_matches_finite_differences():
         xp, xm = x.copy(), x.copy()
         xp[i] += eps
         xm[i] -= eps
-        fp, _ = _shard_value_grad(xp, [(feats, gold)], F, L, want_grad=False)
-        fm, _ = _shard_value_grad(xm, [(feats, gold)], F, L, want_grad=False)
+        fp, _ = st.value_grad(xp, False)
+        fm, _ = st.value_grad(xm, False)
         num = (fp - fm) / (2 * eps)
         assert abs(num - g[i]) < 1e-4, (i, num, g[i])
 
@@ -57,13 +64,24 @@ def test_batched_kernel_matches_logspace_reference():
         shard.append((feats, gold))
     x = rng.normal(scale=0.7, size=F * L + L * L)
     f_ref, g_ref = _shard_value_grad_ref(x, shard, F, L, True)
-    f_new, g_new = _shard_value_grad(x, shard, F, L, True)
-    assert f_new == pytest.approx(f_ref, rel=1e-10)
+    # float64 state: exact agreement with the log-space reference
+    from datacat_ray.stages.crf_train import ShardState
+
+    st64 = ShardState(shard, F, L, dtype=np.float64)
+    f64, g64 = st64.value_grad(x, True)
+    assert f64 == pytest.approx(f_ref, rel=1e-10)
     np.testing.assert_allclose(
-        g_new.astype(np.float64), g_ref.astype(np.float64), atol=1e-3
+        g64.astype(np.float64), g_ref.astype(np.float64), atol=1e-3
+    )
+    # default (float32 hot buffers, float64 accumulators): the shipped
+    # training kernel — agreement to float32 rounding
+    f_new, g_new = _shard_value_grad(x, shard, F, L, True)
+    assert f_new == pytest.approx(f_ref, rel=1e-5)
+    np.testing.assert_allclose(
+        g_new.astype(np.float64), g_ref.astype(np.float64), atol=2e-3
     )
     f_only, none = _shard_value_grad(x, shard, F, L, False)
-    assert f_only == pytest.approx(f_ref, rel=1e-10) and none is None
+    assert f_only == pytest.approx(f_ref, rel=1e-5) and none is None
 
 
 def test_nll_is_proper_negative_log_prob():
