@@ -355,11 +355,15 @@ def _fetch_candidate_values(
                 f"candidate id set exceeded {max_ids} "
                 f"({len(wanted)} ids and counting)"
             )
-    ids_ref = ray.put(wanted)
+    # broadcast as a SORTED int array: the per-batch membership test is
+    # one vectorized searchsorted-based np.isin, not a Python `in` per row
+    ids_ref = ray.put(np.sort(np.fromiter(wanted, dtype=np.int64,
+                                          count=len(wanted))))
 
     def _member(t: pa.Table) -> pa.Table:
         w = cached_ref(ids_ref)
-        return t.filter(pa.array([x in w for x in t[id_col].to_pylist()]))
+        col = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(np.isin(col, w, assume_unique=False)))
 
     out: dict = {}
     for b in source_ds.map_batches(_member, batch_format="pyarrow").iter_batches(

@@ -299,6 +299,34 @@ def compute_winners_parquet(
     return out_dir
 
 
+def winners_to_arrays(winners: dict) -> tuple[np.ndarray, np.ndarray]:
+    """{hash64: ts} → (h sorted ascending uint64, aligned ts) — the
+    broadcast form every winner probe consumes (one searchsorted per
+    batch instead of a dict.get per row)."""
+    h = np.fromiter(winners.keys(), dtype=np.uint64, count=len(winners))
+    w = np.array(list(winners.values()), dtype=object)
+    order = np.argsort(h, kind="stable")
+    return h[order], w[order]
+
+
+def winner_mask(
+    hashes: np.ndarray, tss: np.ndarray,
+    wh: np.ndarray, wts: np.ndarray,
+) -> np.ndarray:
+    """Vectorized winner test: row i survives iff its key hash is a winner
+    AND its ts equals the winning ts. ``wh`` must be sorted ascending."""
+    n = len(hashes)
+    mask = np.zeros(n, dtype=bool)
+    if wh.size == 0:
+        return mask
+    pos = np.searchsorted(wh, hashes)
+    pos_c = np.minimum(pos, wh.size - 1)
+    found = wh[pos_c] == hashes
+    hit = np.flatnonzero(found)
+    mask[hit] = wts[pos_c[hit]] == tss[hit]
+    return mask
+
+
 def _ts_np(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """Timestamp column → numpy for vectorized equality. Null-free columns
     take the no-boxing ``to_numpy`` path (int64/str in C); columns WITH
@@ -372,14 +400,8 @@ class BucketWinnerFilter:
         mask = np.zeros(n, dtype=bool)
         for b in np.unique(buckets):
             wh, wts = self._bucket_arrays(int(b))
-            if wh.size == 0:
-                continue
             sel = np.flatnonzero(buckets == b)
-            pos = np.searchsorted(wh, hashes[sel])
-            pos_c = np.minimum(pos, wh.size - 1)
-            found = wh[pos_c] == hashes[sel]
-            hit = sel[found]
-            mask[hit] = wts[pos_c[found]] == tss[hit]
+            mask[sel] = winner_mask(hashes[sel], tss[sel], wh, wts)
         return _dedup_batch(
             batch.filter(pa.array(mask)), self._key, self._ts
         )
@@ -442,14 +464,14 @@ def dedup_latest_prefilter(
             concurrency=(1, filter_concurrency),
         )
 
-    winners = compute_winners(path, key, ts)
-    ref = _ray.put(winners)
+    # broadcast the winner set in probe form (sorted hash + aligned ts
+    # arrays): the per-batch test is one vectorized searchsorted
+    ref = _ray.put(winners_to_arrays(compute_winners(path, key, ts)))
 
     def _filter(b: pa.Table) -> pa.Table:
-        w = _cached_get(ref)
-        hashes = _key_hash64(b[key])
-        tss = b[ts].to_pylist()
-        mask = pa.array([w.get(h) == t for h, t in zip(hashes, tss)])
-        return _dedup_batch(b.filter(mask), key, ts)
+        wh, wts = _cached_get(ref)
+        hashes = np.array(_key_hash64(b[key]), dtype=np.uint64)
+        mask = winner_mask(hashes, _ts_np(b[ts]), wh, wts)
+        return _dedup_batch(b.filter(pa.array(mask)), key, ts)
 
     return ds.map_batches(_filter, batch_format="pyarrow")

@@ -143,12 +143,17 @@ def _extract_partition(
         batch = _bucket_filter_for(winners_ref[1])(batch)
     elif winners_ref is not None:
         # winners_ref is wrapped in a 1-list so Ray does NOT auto-resolve it
-        # at task invocation — _cached_get deserializes once per worker
-        w = _cached_get(winners_ref[0])
-        hashes = _key_hash64(batch["url"])
-        tss = batch["warc_ts"].to_pylist()
-        mask = pa.array([w.get(h) == t for h, t in zip(hashes, tss)])
-        batch = _dedup_batch(batch.filter(mask), "url", "warc_ts")
+        # at task invocation — _cached_get deserializes once per worker;
+        # the payload is the (sorted hash, ts) probe arrays, tested by one
+        # vectorized searchsorted per batch
+        import numpy as np
+
+        from datacat_ray.stages.dedup import _ts_np, winner_mask
+
+        wh, wts = _cached_get(winners_ref[0])
+        hashes = np.array(_key_hash64(batch["url"]), dtype=np.uint64)
+        mask = winner_mask(hashes, _ts_np(batch["warc_ts"]), wh, wts)
+        batch = _dedup_batch(batch.filter(pa.array(mask)), "url", "warc_ts")
     result = _fused_task(batch, max_tokens=max_tokens, max_blocks=max_blocks,
                          tei_coordinates=tei_coordinates,
                          model_paths=model_paths)
@@ -278,7 +283,11 @@ def run_extract_job(
             )
             winners_ref = ["bucketed", wdir]
         else:
-            winners_ref = [ray.put(compute_winners(input_path))]
+            from datacat_ray.stages.dedup import winners_to_arrays
+
+            winners_ref = [
+                ray.put(winners_to_arrays(compute_winners(input_path)))
+            ]
     recs = list(done.values())
     in_flight: list = []
     for part_id, frs in pending:
