@@ -69,7 +69,16 @@ def _parallel_burn(n: int = 16) -> float:
         )
         for _ in range(n)
     ]
-    times = [float(p.communicate()[0]) for p in procs]
+    # a dead/hung child must not discard the measured results this burn
+    # merely annotates: failures read as -1.0 (burn unknown), not a crash
+    times = []
+    for p in procs:
+        try:
+            out = p.communicate(timeout=120)[0]
+            times.append(float(out))
+        except Exception:
+            p.kill()
+            return -1.0
     return round(max(times), 2)
 
 

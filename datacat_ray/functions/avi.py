@@ -210,51 +210,81 @@ def has_ffmpeg() -> bool:
 _FFMPEG: bool | None = None
 
 
-def decode_frame_ffmpeg(payload: bytes, frame_idx: int) -> np.ndarray:
-    """Frame decode via an ffmpeg subprocess (rawvideo/rgb24 to stdout) —
-    the compressed-codec leg of the seam. Container geometry still comes
-    from the AVI headers (codec-independent), so the output contract is
-    identical to ``decode_avi_frame``: uint8 (h, w, 3) RGB."""
+def decode_frames_ffmpeg(
+    payload: bytes, frame_idxs: list[int]
+) -> list[np.ndarray]:
+    """Decode ALL requested frames in ONE ffmpeg subprocess (rawvideo/
+    rgb24 to stdout, one select expression) — per-frame invocations would
+    re-write the payload and re-decode the stream from frame 0 each call,
+    making a sampled grid quadratic in stream length. Container geometry
+    still comes from the AVI headers (codec-independent), so the output
+    contract is identical to ``decode_avi_frame``: uint8 (h, w, 3) RGB
+    per index, in ``frame_idxs`` order."""
     import subprocess
     import tempfile
 
     n, w, h, _fps = parse_avi_header(payload)
-    if not 0 <= frame_idx < n:
+    if not frame_idxs:
+        return []
+    if not all(0 <= fi < n for fi in frame_idxs):
         raise ValueError("frame index out of range")
+    # ffmpeg's select filter emits frames in stream order regardless of
+    # the expression's term order; decode sorted-unique then reorder
+    uniq = sorted(set(frame_idxs))
+    expr = "+".join(f"eq(n\\,{fi})" for fi in uniq)
     with tempfile.NamedTemporaryFile(suffix=".avi") as f:
         f.write(payload)
         f.flush()
         proc = subprocess.run(
             [
                 "ffmpeg", "-loglevel", "error", "-i", f.name,
-                "-map", "0:v:0", "-vf", f"select=eq(n\\,{frame_idx})",
-                "-vsync", "0", "-frames:v", "1",
+                "-map", "0:v:0", "-vf", f"select={expr}",
+                "-vsync", "0", "-frames:v", str(len(uniq)),
                 "-f", "rawvideo", "-pix_fmt", "rgb24", "pipe:1",
             ],
             capture_output=True,
         )
-    if proc.returncode != 0 or len(proc.stdout) != w * h * 3:
+    want = w * h * 3 * len(uniq)
+    if proc.returncode != 0 or len(proc.stdout) != want:
         raise ValueError(
             f"ffmpeg decode failed (rc={proc.returncode}, "
-            f"got {len(proc.stdout)} of {w * h * 3} bytes): "
+            f"got {len(proc.stdout)} of {want} bytes): "
             f"{proc.stderr.decode(errors='replace')[:200]}"
         )
-    return np.frombuffer(proc.stdout, dtype=np.uint8).reshape(h, w, 3).copy()
+    mat = np.frombuffer(proc.stdout, dtype=np.uint8).reshape(
+        len(uniq), h, w, 3
+    )
+    by_idx = {fi: mat[i] for i, fi in enumerate(uniq)}
+    return [by_idx[fi].copy() for fi in frame_idxs]
 
 
-def decode_video_frame(payload: bytes, frame_idx: int) -> np.ndarray:
-    """THE frame-decode seam: BI_RGB streams decode in pure Python;
-    compressed codecs route to ffmpeg when present, else raise
-    ``UnsupportedCodec`` with the fix spelled out. One signature for every
-    codec, so pipeline stages never branch on the payload."""
+def decode_frame_ffmpeg(payload: bytes, frame_idx: int) -> np.ndarray:
+    """Single-frame convenience wrapper over ``decode_frames_ffmpeg``."""
+    return decode_frames_ffmpeg(payload, [frame_idx])[0]
+
+
+def decode_video_frames(
+    payload: bytes, frame_idxs: list[int]
+) -> list[np.ndarray]:
+    """THE frame-decode seam, batched per payload: BI_RGB streams decode
+    in pure Python (random access via the container index, no cross-frame
+    state); compressed codecs route to ONE ffmpeg subprocess for the whole
+    sampled grid when present, else raise ``UnsupportedCodec`` with the
+    fix spelled out. One signature for every codec, so pipeline stages
+    never branch on the payload."""
     comp = avi_compression(payload)
     if comp == 0:
-        return decode_avi_frame(payload, frame_idx)
+        return [decode_avi_frame(payload, fi) for fi in frame_idxs]
     if has_ffmpeg():
-        return decode_frame_ffmpeg(payload, frame_idx)
+        return decode_frames_ffmpeg(payload, frame_idxs)
     fourcc = struct.pack("<I", comp)
     raise UnsupportedCodec(
         f"AVI video stream is compressed (biCompression={fourcc!r}); the "
         "pure-Python decoder covers BI_RGB only — install ffmpeg to enable "
-        "the subprocess decode path (decode_frame_ffmpeg)"
+        "the subprocess decode path (decode_frames_ffmpeg)"
     )
+
+
+def decode_video_frame(payload: bytes, frame_idx: int) -> np.ndarray:
+    """Single-frame convenience wrapper over ``decode_video_frames``."""
+    return decode_video_frames(payload, [frame_idx])[0]

@@ -833,10 +833,16 @@ def neardup_clusters(
     # comes from parquet METADATA, and both branches read the spilled
     # files, so the pair pipeline executes exactly once
     if work_dir is None:
+        # per-PROCESS scratch: keyed by pid as well as the inputs, so two
+        # concurrent runs over the same corpus (paired bench probes) never
+        # clear each other's edge spill mid-read. Cross-process resume
+        # needs an explicit work_dir.
         digest = hashlib.sha1(
             f"{sf_dir}:{threshold}".encode()
         ).hexdigest()[:12]
-        work_dir = os.path.join(tempfile.gettempdir(), f"datacat_lp_{digest}")
+        work_dir = os.path.join(
+            tempfile.gettempdir(), f"datacat_lp_{digest}_{os.getpid()}"
+        )
     edges_path = os.path.join(work_dir, "edges")
 
     def _has_edges() -> bool:
@@ -881,8 +887,10 @@ def neardup_clusters(
         lab_dir = label_propagation_parquet(edges_path, work_dir)
 
         def _assign_lp(t: pa.Table) -> pa.Table:
+            from datacat_ray.stages.dedup import sorted_hits
+
             ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
-            cluster = ids.astype(np.int64).copy()
+            cluster = ids.astype(np.int64)  # astype copies
             if lab_dir is not None:
                 # group rows by bucket: each bucket's label file is
                 # loaded/statted ONCE per batch and probed with one
@@ -892,14 +900,9 @@ def neardup_clusters(
                 codes = int_bucket_codes(ids, _LP_BUCKETS)
                 for bc in np.unique(codes):
                     nodes, labels = _label_bucket_map(lab_dir, int(bc))
-                    if nodes.size == 0:
-                        continue
                     sel = np.flatnonzero(codes == bc)
-                    pos = np.searchsorted(nodes, cluster[sel])
-                    pos_c = np.minimum(pos, nodes.size - 1)
-                    found = nodes[pos_c] == cluster[sel]
-                    hit = sel[found]
-                    cluster[hit] = labels[pos_c[found]]
+                    hit, npos = sorted_hits(cluster[sel], nodes)
+                    cluster[sel[hit]] = labels[npos]
             return pa.Table.from_pydict(
                 {"doc_id": t["doc_id"],
                  "cluster_id": pa.array(cluster, type=pa.int64())}

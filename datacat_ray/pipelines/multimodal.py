@@ -321,11 +321,11 @@ class AudioFrameSampler:
 # stream, functions/avi.py) — a format that exists outside this repo and
 # that ffprobe/any player reads. A production deployment swaps the
 # uncompressed frame plane for an ffmpeg/decord codec behind the same
-# decode_frame seam — the frame-sampling plan, per-frame decode, and
-# per-frame stats are the same shape either way.
+# decode_frames seam — the frame-sampling plan, per-payload batched
+# decode, and per-frame stats are the same shape either way.
 
 from datacat_ray.functions.avi import (  # noqa: E402 — section-local import
-    decode_video_frame,
+    decode_video_frames,
     encode_avi,
     parse_avi_header,
 )
@@ -366,12 +366,13 @@ class VideoFrameSampler:
         self.sample_sec = sample_sec  # heavier codec init goes here
 
     @staticmethod
-    def decode_frame(payload: bytes, frame_idx: int) -> "np.ndarray":
-        """AVI bytes + frame index → uint8 (h, w, 3) RGB pixels. Routes
-        through the codec seam: BI_RGB decodes in pure Python; compressed
-        codecs use ffmpeg when installed, else raise ``UnsupportedCodec``
+    def decode_frames(payload: bytes, frame_idxs: list[int]) -> list:
+        """AVI bytes + frame indices → uint8 (h, w, 3) RGB pixels per
+        index. Routes through the BATCHED codec seam: BI_RGB decodes in
+        pure Python; compressed codecs use ONE ffmpeg subprocess for the
+        whole sampled grid when installed, else raise ``UnsupportedCodec``
         (→ the document's ``valid=False`` poison-row path)."""
-        return decode_video_frame(payload, frame_idx)
+        return decode_video_frames(payload, frame_idxs)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = {"doc_id": [], "width": [], "height": [], "fps": [],
@@ -385,8 +386,7 @@ class VideoFrameSampler:
                 step = max(1, int(self.sample_sec * fps))
                 sampled = list(range(0, n, step))
                 luma = []
-                for fi in sampled:
-                    px = self.decode_frame(p, fi)
+                for px in self.decode_frames(p, sampled):
                     rgb = px[:, :, :3].astype(np.float64)
                     luma.append(round(float((rgb @ _LUMA).mean()), 6))
                 rows["width"].append(w)

@@ -275,7 +275,11 @@ def build_ivf_index(
 
         clear_cache_dir(
             index_dir,
-            lambda f: f.startswith(("bucket=", "_BUILT", "centroids")),
+            # "nprobe" covers nprobe.json + crashed-run .tmp files: the
+            # cached selection belongs to the index being cleared (stale
+            # after a rebuild), and refusing it would brick the dir
+            lambda f: f.startswith(("bucket=", "_BUILT", "centroids",
+                                    "nprobe")),
         )
     os.makedirs(index_dir, exist_ok=True)
 
@@ -312,7 +316,7 @@ def build_ivf_index(
 def ivf_topk(
     sf_dir: str, query_vec_id: int = 0, k: int = 10,
     index_dir: str | None = None, nprobe: int | str = IVF_NPROBE,
-    target_recall: float = 0.8,
+    target_recall: float = 0.8, n_queries: int = 16,
 ) -> pa.Table:
     """Approximate top-k over the bucket-partitioned IVF index: the probe
     reads ONLY the ``nprobe`` cells whose centroids are closest to the
@@ -327,8 +331,11 @@ def ivf_topk(
 
     index_dir = build_ivf_index(sf_dir, index_dir)
     if nprobe == "auto":
+        # n_queries threads through so the cached selection key matches
+        # whatever sample size the caller contracted select_nprobe with
         nprobe, _ = select_nprobe(
-            sf_dir, target_recall=target_recall, k=k, index_dir=index_dir
+            sf_dir, target_recall=target_recall, k=k, index_dir=index_dir,
+            n_queries=n_queries,
         )
     cent = np.load(os.path.join(index_dir, "centroids.npy"))
     q = _load_query_vec(sf_dir, query_vec_id)

@@ -309,21 +309,31 @@ def winners_to_arrays(winners: dict) -> tuple[np.ndarray, np.ndarray]:
     return h[order], w[order]
 
 
+def sorted_hits(
+    keys: np.ndarray, sorted_keys: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Membership probe against a sorted array: returns (row indices of
+    ``keys`` found in ``sorted_keys``, their positions in ``sorted_keys``).
+    The one shared copy of the searchsorted+clamp+equality idiom every
+    broadcast-lookup filter uses (winner probe, LP label assignment)."""
+    if sorted_keys.size == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    pos = np.searchsorted(sorted_keys, keys)
+    pos_c = np.minimum(pos, sorted_keys.size - 1)
+    hit = np.flatnonzero(sorted_keys[pos_c] == keys)
+    return hit, pos_c[hit]
+
+
 def winner_mask(
     hashes: np.ndarray, tss: np.ndarray,
     wh: np.ndarray, wts: np.ndarray,
 ) -> np.ndarray:
     """Vectorized winner test: row i survives iff its key hash is a winner
     AND its ts equals the winning ts. ``wh`` must be sorted ascending."""
-    n = len(hashes)
-    mask = np.zeros(n, dtype=bool)
-    if wh.size == 0:
-        return mask
-    pos = np.searchsorted(wh, hashes)
-    pos_c = np.minimum(pos, wh.size - 1)
-    found = wh[pos_c] == hashes
-    hit = np.flatnonzero(found)
-    mask[hit] = wts[pos_c[hit]] == tss[hit]
+    mask = np.zeros(len(hashes), dtype=bool)
+    hit, wpos = sorted_hits(hashes, wh)
+    mask[hit] = wts[wpos] == tss[hit]
     return mask
 
 

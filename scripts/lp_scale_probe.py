@@ -22,6 +22,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 
 def main() -> int:
     n_edges = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000

@@ -143,3 +143,8 @@ def test_ffmpeg_leg_lossless_roundtrip(tmp_path):
     assert A.avi_compression(payload) != 0
     got = A.decode_video_frame(payload, 2)
     assert (got == frames[2]).all()
+    # batched leg: one subprocess for the whole grid, any request order
+    out = A.decode_video_frames(payload, [3, 0, 3])
+    assert (out[0] == frames[3]).all()
+    assert (out[1] == frames[0]).all()
+    assert (out[2] == frames[3]).all()

@@ -144,12 +144,12 @@ def test_video_frame_sampling(ray_session):
     assert fr[0] == 0 and all(b - a == step for a, b in zip(fr, fr[1:]))
     assert fr[-1] < good["n_frames"]
     # frame decode is REAL: pixels come back and per-frame luma is emitted
-    px = VideoFrameSampler.decode_frame(make_fake_video(0), 0)
+    px = VideoFrameSampler.decode_frames(make_fake_video(0), [0])[0]
     assert px.shape == (16, 16, 3) and px.dtype.name == "uint8"
     assert len(good["frame_luma"]) == len(fr)
     assert all(0 < l < 255 for l in good["frame_luma"])
     with pytest.raises(ValueError):
-        VideoFrameSampler.decode_frame(b"junk", 0)
+        VideoFrameSampler.decode_frames(b"junk", [0])
     assert video_frames("/root/testdata/sf0.001").count() == 500
 
 
