@@ -138,6 +138,167 @@ DUPLICATE_CLUSTERS_SQL = """
 
 
 # ---------------------------------------------------------------------------
+# incremental dedup (Bloom prefilter vs an ingested snapshot)
+# ---------------------------------------------------------------------------
+
+INCR_SNAPSHOT_DOCS = 300  # doc_ids [0, 300) stand in for the prior snapshot
+_BLOOM_CAND_MAX = 2_000_000  # candidate-hash broadcast cap (16 MB)
+
+
+def _text_hash64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Null-safe vectorized 64-bit content hash (same kernel family as
+    ``_content_hash_batch``; nulls hash as empty text)."""
+    import polars as pl
+
+    c = pc.fill_null(
+        col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col, ""
+    )
+    return pl.from_arrow(c).hash(seed=20260817).to_numpy().astype(np.uint64)
+
+
+def incremental_dedup(
+    sf_dir: str, snapshot_docs: int = INCR_SNAPSHOT_DOCS
+) -> "ray.data.Dataset":
+    """doc_ids of NEW documents (doc_id >= ``snapshot_docs``) whose text
+    does not already appear in the ingested snapshot (doc_id <
+    ``snapshot_docs``) — the incremental-crawl hygiene step: filter each
+    new dump against everything ingested so far WITHOUT re-shuffling or
+    re-broadcasting the snapshot.
+
+    Scale shape (functions/bloom.py): the snapshot streams ONCE into
+    per-batch Bloom partials merged by a tree fold (bitwise OR — the
+    driver sees one 128 KB row per 64 batches, and the broadcast filter is
+    a FIXED 128 KB no matter how many snapshot rows exist, unlike the
+    snapshot-proportional broadcast set in ``decontaminate``). The new
+    side probes the filter vectorized; only Bloom-POSITIVE rows (true dups
+    + ~1% false positives) reach the exact verify, which fetches the
+    matching snapshot TEXTS via a membership-filtered second snapshot pass
+    and compares bytes — so the output is EXACT (text equality, nulls ==
+    empty), byte-matching the SQL anti-join oracle. The candidate
+    broadcast carries the same cap discipline as the jaccard verify
+    (``BroadcastIdSetTooLarge`` past ``_BLOOM_CAND_MAX`` — the fallback at
+    that scale is a hash-bucketed join on the content hash)."""
+    import pyarrow.dataset as pads
+
+    from datacat_ray.functions.bloom import (
+        bloom_add,
+        bloom_maybe,
+        bloom_merge,
+        bloom_zeros,
+    )
+    from datacat_ray.stages.bucketed import cached_ref
+
+    path = f"{sf_dir}/documents.parquet"
+    fld = pads.field("doc_id")
+
+    def _snap():
+        return ray.data.read_parquet(
+            path, columns=["doc_id", "text"], filter=fld < snapshot_docs
+        )
+
+    # phase 1: snapshot → Bloom partial per batch → tree fold (OR)
+    def _partial(t: pa.Table) -> pa.Table:
+        bits = bloom_zeros()
+        bloom_add(bits, _text_hash64(t["text"]))
+        return pa.Table.from_pydict(
+            {"bloom": pa.array([bits.tobytes()], pa.binary())}
+        )
+
+    def _fold(t: pa.Table) -> pa.Table:
+        merged = bloom_merge(
+            [np.frombuffer(b, np.uint64) for b in t["bloom"].to_pylist()]
+        )
+        return pa.Table.from_pydict(
+            {"bloom": pa.array([merged.tobytes()], pa.binary())}
+        )
+
+    folded = (
+        _snap()
+        .map_batches(_partial, batch_format="pyarrow")
+        .map_batches(_fold, batch_format="pyarrow", batch_size=64)
+        .take_all()
+    )
+    bits = bloom_merge([np.frombuffer(r["bloom"], np.uint64) for r in folded])
+    bits_ref = ray.put(bits)
+
+    new = ray.data.read_parquet(
+        path, columns=["doc_id", "text"], filter=fld >= snapshot_docs
+    )
+
+    # phase 2: new side probes the filter; DISTINCT positive hashes out
+    def _cand(t: pa.Table) -> pa.Table:
+        h = _text_hash64(t["text"])
+        m = bloom_maybe(cached_ref(bits_ref), h)
+        return pa.Table.from_pydict(
+            {"h": pa.array(np.unique(h[m]).view(np.int64), pa.int64())}
+        )
+
+    cand: set[int] = set()
+    for b in new.map_batches(_cand, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        cand.update(b["h"].to_pylist())
+        if len(cand) > _BLOOM_CAND_MAX:
+            raise BroadcastIdSetTooLarge(
+                f"bloom candidate set exceeded {_BLOOM_CAND_MAX} — switch "
+                "the verify to a hash-bucketed join on the content hash"
+            )
+    cand_sorted = np.sort(
+        np.fromiter(cand, dtype=np.int64, count=len(cand)).view(np.uint64)
+    )
+    cand_ref = ray.put(cand_sorted)
+
+    # phase 3: snapshot texts behind the candidate hashes (small: only
+    # texts that SOME new doc bloom-hit), broadcast for the exact compare
+    def _snap_texts(t: pa.Table) -> pa.Table:
+        h = _text_hash64(t["text"])
+        keep = np.isin(h, cached_ref(cand_ref))
+        return pa.Table.from_pydict(
+            {
+                "text": pc.fill_null(t["text"].combine_chunks(), "").filter(
+                    pa.array(keep)
+                )
+            }
+        )
+
+    seen_texts = frozenset(
+        r["text"]
+        for r in _snap()
+        .map_batches(_snap_texts, batch_format="pyarrow")
+        .take_all()
+    )
+    texts_ref = ray.put(seen_texts)
+
+    def _final(t: pa.Table) -> pa.Table:
+        h = _text_hash64(t["text"])
+        keep = ~bloom_maybe(cached_ref(bits_ref), h)
+        hits = np.flatnonzero(~keep)
+        if hits.size:
+            # exact byte compare only for bloom-positive rows (the small
+            # fraction); removes both bloom FPs and 64-bit hash collisions
+            seen = cached_ref(texts_ref)
+            tx = pc.fill_null(t["text"].combine_chunks(), "")
+            for i in hits:
+                keep[i] = tx[int(i)].as_py() not in seen
+        return pa.Table.from_pydict({"doc_id": t["doc_id"]}).filter(
+            pa.array(keep)
+        )
+
+    return new.map_batches(_final, batch_format="pyarrow")
+
+
+INCREMENTAL_DEDUP_SQL = f"""
+    SELECT doc_id FROM documents d
+    WHERE doc_id >= {INCR_SNAPSHOT_DOCS}
+      AND NOT EXISTS (
+          SELECT 1 FROM documents s
+          WHERE s.doc_id < {INCR_SNAPSHOT_DOCS}
+            AND coalesce(s.text, '') = coalesce(d.text, '')
+      )
+"""
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 

@@ -27,8 +27,10 @@ from datacat_ray.config import PipelineConfig
 from datacat_ray.fixtures import pages_from_documents
 from datacat_ray.pipelines.dedup_ops import (
     DUPLICATE_CLUSTERS_SQL,
+    INCREMENTAL_DEDUP_SQL,
     PARAGRAPH_DEDUP_SQL,
     duplicate_clusters,
+    incremental_dedup,
     paragraph_dedup,
     embedding_neardup_pairs,
     exact_dedup,
@@ -333,6 +335,10 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "image_metadata": image_metadata,
         "audio_frames": audio_frames,
         "video_frames": video_frames,
+        # EXACT output (SQL-expressible) but past the driver's 50-slot
+        # budget: the oracle equality is pytest-pinned via
+        # build_retired_oracles instead
+        "incremental_dedup": incremental_dedup,
     }
 
 
@@ -493,12 +499,15 @@ def build_oracle_sql() -> dict[str, str]:
 
 
 def build_retired_oracles() -> dict[str, tuple[Callable[[str], Any], str]]:
-    """Operators retired from the driver registry by the slot-50 budget
-    (consolidated into token_counts / top_grams / doc_profile, or plain
-    redundant with a surviving entry). Each keeps name -> (callable, SQL)
-    here and is oracle-checked in tests/test_retired_registry_ops.py, so
-    retirement never loses correctness coverage."""
+    """Operators with a SQL oracle but no driver slot: retired from the
+    registry by the slot-50 budget (consolidated into token_counts /
+    top_grams / doc_profile, or plain redundant with a surviving entry) or
+    added after the budget filled (incremental_dedup). Each keeps
+    name -> (callable, SQL) here and is oracle-checked in
+    tests/test_retired_registry_ops.py, so the budget never loses
+    correctness coverage."""
     return {
+        "incremental_dedup": (incremental_dedup, INCREMENTAL_DEDUP_SQL),
         "filter_project": (filter_project, FILTER_PROJECT_SQL),
         "distinct_event_types": (distinct_event_types,
                                  DISTINCT_EVENT_TYPES_SQL),

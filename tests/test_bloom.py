@@ -1,0 +1,104 @@
+"""Bloom-prefiltered incremental dedup (functions/bloom.py +
+dedup_ops.incremental_dedup). The sf fixtures carry no cross-boundary
+duplicate texts, so the drop path is pinned here on a synthetic corpus
+with known snapshot/new duplicates, against the same DuckDB anti-join the
+retired-oracle harness replays."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from datacat_ray.functions.bloom import (
+    BLOOM_K,
+    bloom_add,
+    bloom_maybe,
+    bloom_merge,
+    bloom_zeros,
+)
+
+
+def test_bloom_kernels():
+    rng = np.random.RandomState(7)
+    added = rng.randint(0, 2**63, size=5000).astype(np.uint64)
+    other = rng.randint(0, 2**63, size=5000).astype(np.uint64)
+    other = other[~np.isin(other, added)]
+
+    bits = bloom_zeros()
+    bloom_add(bits, added)
+    assert bloom_maybe(bits, added).all()  # no false negatives, ever
+    fp = bloom_maybe(bits, other).mean()
+    assert fp < 0.01  # 5k keys in 2^20 bits, k=5 → well under 1%
+
+    # merge(partials) == add-all (the tree-fold identity)
+    b1, b2 = bloom_zeros(), bloom_zeros()
+    bloom_add(b1, added[:2500])
+    bloom_add(b2, added[2500:])
+    assert (bloom_merge([b1, b2]) == bits).all()
+
+    # empty probes
+    assert bloom_maybe(bits, np.array([], dtype=np.uint64)).shape == (0,)
+    assert BLOOM_K >= 1
+
+
+def _write_docs(path, ids, texts):
+    pq.write_table(
+        pa.Table.from_pydict(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "text": pa.array(texts, pa.string())}
+        ),
+        path,
+    )
+
+
+@pytest.fixture()
+def dup_corpus(tmp_path):
+    """600 docs; snapshot = [0, 300). New docs 3xx duplicate snapshot
+    texts on a known pattern; one null text on each side (null == empty ==
+    duplicate); the rest unique."""
+    n = 600
+    ids = list(range(n))
+    texts: list[str | None] = [f"unique text number {i}" for i in ids]
+    texts[10] = None   # snapshot null (hashes/compares as '')
+    for i in range(300, 360):  # 60 new docs duplicate snapshot docs
+        texts[i] = texts[i - 300]  # incl. 310 = None (null dup)
+    texts[400] = None  # null matches snapshot null (coalesce to '')
+    texts[401] = ""    # and '' matches null too
+    _write_docs(str(tmp_path / "documents.parquet"), ids, texts)
+    expected = sorted(
+        i for i in range(300, n)
+        if i not in range(300, 360) and i not in (400, 401)
+    )
+    return str(tmp_path), expected
+
+
+def test_incremental_dedup_drops_cross_boundary_dups(ray_session, dup_corpus):
+    import duckdb
+
+    from datacat_ray.pipelines.dedup_ops import (
+        INCREMENTAL_DEDUP_SQL,
+        incremental_dedup,
+    )
+
+    sf, expected = dup_corpus
+    got = sorted(r["doc_id"] for r in incremental_dedup(sf).take_all())
+    assert got == expected
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    want = sorted(x[0] for x in con.execute(INCREMENTAL_DEDUP_SQL).fetchall())
+    assert got == want
+
+
+def test_incremental_dedup_candidate_cap(ray_session, dup_corpus, monkeypatch):
+    from datacat_ray.pipelines import dedup_ops
+
+    sf, _ = dup_corpus
+    monkeypatch.setattr(dedup_ops, "_BLOOM_CAND_MAX", 3)
+    with pytest.raises(dedup_ops.BroadcastIdSetTooLarge):
+        dedup_ops.incremental_dedup(sf).take_all()
