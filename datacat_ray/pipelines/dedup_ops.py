@@ -1341,10 +1341,34 @@ def ngram_jaccard_pairs(
     equivalent): candidates hash-join against the documents table on doc_id
     — twice, once per pair side — so nothing pair-related ever sits on the
     driver. ``"auto"`` switches to join above ``_CAND_BROADCAST_MAX``
-    candidate pairs."""
-    cands = minhash_candidate_pairs(sf_dir, threshold=0.5).materialize()
+    candidate pairs.
+
+    The candidate list spills to per-process parquet scratch (same pattern
+    as the neardup edge list): it is read three times (mode count, id
+    collect, verify) but is corpus-proportional in exactly the regime the
+    join mode exists for, so pinning it in the object store would double
+    its footprint at scale; the mode-picking count comes from parquet
+    METADATA."""
+    import hashlib
+    import os
+    import tempfile
+
+    import pyarrow.dataset as pads
+
+    from datacat_ray.stages.dedup import clear_cache_dir
+
+    digest = hashlib.sha1(f"{sf_dir}:{threshold}".encode()).hexdigest()[:12]
+    spill = os.path.join(
+        tempfile.gettempdir(), f"datacat_njp_{digest}_{os.getpid()}"
+    )
+    if os.path.isdir(spill):
+        clear_cache_dir(spill, lambda f: f.endswith(".parquet"))
+    os.makedirs(spill, exist_ok=True)
+    minhash_candidate_pairs(sf_dir, threshold=0.5).write_parquet(spill)
+    n_cands = pads.dataset(spill, format="parquet").count_rows()
+    cands = ray.data.read_parquet(spill)
     if method == "auto":
-        method = "join" if cands.count() > _CAND_BROADCAST_MAX else "broadcast"
+        method = "join" if n_cands > _CAND_BROADCAST_MAX else "broadcast"
 
     def _join_verify() -> "ray.data.Dataset":
         # partition count sized to the session: each hash-join partition is
