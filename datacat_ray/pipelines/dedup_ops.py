@@ -156,30 +156,12 @@ def _text_hash64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return pl.from_arrow(c).hash(seed=20260817).to_numpy().astype(np.uint64)
 
 
-def incremental_dedup(
-    sf_dir: str, snapshot_docs: int = INCR_SNAPSHOT_DOCS
-) -> "ray.data.Dataset":
-    """doc_ids of NEW documents (doc_id >= ``snapshot_docs``) whose text
-    does not already appear in the ingested snapshot (doc_id <
-    ``snapshot_docs``) — the incremental-crawl hygiene step: filter each
-    new dump against everything ingested so far WITHOUT re-shuffling or
-    re-broadcasting the snapshot.
-
-    Scale shape (functions/bloom.py): the snapshot streams ONCE into
-    per-batch Bloom partials merged by a tree fold (bitwise OR — the
-    driver sees one 128 KB row per 64 batches, and the broadcast filter is
-    a FIXED 128 KB no matter how many snapshot rows exist, unlike the
-    snapshot-proportional broadcast set in ``decontaminate``). The new
-    side probes the filter vectorized; only Bloom-POSITIVE rows (true dups
-    + ~1% false positives) reach the exact verify, which fetches the
-    matching snapshot TEXTS via a membership-filtered second snapshot pass
-    and compares bytes — so the output is EXACT (text equality, nulls ==
-    empty), byte-matching the SQL anti-join oracle. The candidate
-    broadcast carries the same cap discipline as the jaccard verify
-    (``BroadcastIdSetTooLarge`` past ``_BLOOM_CAND_MAX`` — the fallback at
-    that scale is a hash-bucketed join on the content hash)."""
-    import pyarrow.dataset as pads
-
+def _bloom_of(ds, probe_ref=None) -> "np.ndarray":
+    """Stream a documents Dataset into ONE merged Bloom filter: per-batch
+    partials (128 KB each), OR-folded 64-at-a-time by a tree stage so the
+    driver sees one row per 64 batches. With ``probe_ref``, only rows that
+    HIT that filter contribute (used to build the new-side candidate bloom
+    in join mode)."""
     from datacat_ray.functions.bloom import (
         bloom_add,
         bloom_maybe,
@@ -188,18 +170,12 @@ def incremental_dedup(
     )
     from datacat_ray.stages.bucketed import cached_ref
 
-    path = f"{sf_dir}/documents.parquet"
-    fld = pads.field("doc_id")
-
-    def _snap():
-        return ray.data.read_parquet(
-            path, columns=["doc_id", "text"], filter=fld < snapshot_docs
-        )
-
-    # phase 1: snapshot → Bloom partial per batch → tree fold (OR)
     def _partial(t: pa.Table) -> pa.Table:
+        h = _text_hash64(t["text"])
+        if probe_ref is not None:
+            h = h[bloom_maybe(cached_ref(probe_ref), h)]
         bits = bloom_zeros()
-        bloom_add(bits, _text_hash64(t["text"]))
+        bloom_add(bits, h)
         return pa.Table.from_pydict(
             {"bloom": pa.array([bits.tobytes()], pa.binary())}
         )
@@ -213,17 +189,124 @@ def incremental_dedup(
         )
 
     folded = (
-        _snap()
-        .map_batches(_partial, batch_format="pyarrow")
+        ds.map_batches(_partial, batch_format="pyarrow")
         .map_batches(_fold, batch_format="pyarrow", batch_size=64)
         .take_all()
     )
-    bits = bloom_merge([np.frombuffer(r["bloom"], np.uint64) for r in folded])
-    bits_ref = ray.put(bits)
+    return bloom_merge([np.frombuffer(r["bloom"], np.uint64) for r in folded])
+
+
+def incremental_dedup(
+    sf_dir: str,
+    snapshot_docs: int = INCR_SNAPSHOT_DOCS,
+    method: str = "auto",
+) -> "ray.data.Dataset":
+    """doc_ids of NEW documents (doc_id >= ``snapshot_docs``) whose text
+    does not already appear in the ingested snapshot (doc_id <
+    ``snapshot_docs``) — the incremental-crawl hygiene step: filter each
+    new dump against everything ingested so far WITHOUT re-shuffling or
+    re-broadcasting the snapshot.
+
+    Scale shape (functions/bloom.py): the snapshot streams ONCE into
+    per-batch Bloom partials merged by a tree fold (bitwise OR — the
+    driver sees one 128 KB row per 64 batches, and the broadcast filter is
+    a FIXED 128 KB no matter how many snapshot rows exist, unlike the
+    snapshot-proportional broadcast set in ``decontaminate``). The new
+    side probes the filter vectorized; only Bloom-POSITIVE rows (true dups
+    + ~1% false positives) reach the exact verify, so the output is EXACT
+    (text equality, nulls == empty), byte-matching the SQL anti-join
+    oracle.
+
+    ``method="broadcast"``: the verify fetches the matching snapshot
+    TEXTS via a membership-filtered second snapshot pass and broadcasts
+    them (O(candidates) driver memory, capped at ``_BLOOM_CAND_MAX`` →
+    ``BroadcastIdSetTooLarge``). ``method="join"`` (the regime where
+    candidates are corpus-proportional): both sides' bloom-positive rows
+    shuffle ONCE on an int bucket of the text hash and each bucket runs a
+    vectorized ``pc.is_in`` anti-join — nothing candidate-proportional
+    ever sits on the driver; the snapshot side is pruned by a SECOND
+    128 KB bloom built over the new side's positives before the exchange.
+    ``"auto"`` tries broadcast and falls back to join at the cap, pinned
+    equal in tests (test_bloom)."""
+    import pyarrow.dataset as pads
+
+    from datacat_ray.functions.bloom import bloom_maybe
+    from datacat_ray.stages.bucketed import cached_ref
+
+    path = f"{sf_dir}/documents.parquet"
+    fld = pads.field("doc_id")
+
+    def _snap():
+        return ray.data.read_parquet(
+            path, columns=["doc_id", "text"], filter=fld < snapshot_docs
+        )
+
+    bits_ref = ray.put(_bloom_of(_snap()))
 
     new = ray.data.read_parquet(
         path, columns=["doc_id", "text"], filter=fld >= snapshot_docs
     )
+
+    def _join_verify() -> "ray.data.Dataset":
+        from datacat_ray.stages.bucketed import add_bucket
+
+        # prune the snapshot shuffle side with a bloom over the NEW
+        # side's positives (saturation only weakens the prune, never
+        # correctness); both sides then exchange (text, …) on an int
+        # bucket of the text hash
+        nb_ref = ray.put(_bloom_of(new, probe_ref=bits_ref))
+
+        def _side(t: pa.Table, probe, src: int) -> pa.Table:
+            h = _text_hash64(t["text"])
+            m = bloom_maybe(cached_ref(probe), h)
+            kept = pa.Table.from_pydict(
+                {
+                    "doc_id": t["doc_id"],
+                    "text": pc.fill_null(t["text"].combine_chunks(), ""),
+                    "src": pa.array(
+                        np.full(t.num_rows, src, dtype=np.int8), pa.int8()
+                    ),
+                }
+            ).filter(pa.array(m))
+            return add_bucket(kept, "text")
+
+        def _anti(g: pa.Table) -> pa.Table:
+            src = g["src"].combine_chunks().to_numpy(zero_copy_only=False)
+            snap_texts = g["text"].filter(pa.array(src == 0))
+            new_rows = g.filter(pa.array(src == 1))
+            if len(snap_texts) == 0:
+                return new_rows.select(["doc_id"])
+            keep = pc.invert(
+                pc.is_in(new_rows["text"], value_set=snap_texts.combine_chunks())
+            )
+            return new_rows.select(["doc_id"]).filter(keep)
+
+        shuffled = (
+            new.map_batches(
+                lambda t: _side(t, bits_ref, 1), batch_format="pyarrow"
+            )
+            .union(
+                _snap().map_batches(
+                    lambda t: _side(t, nb_ref, 0), batch_format="pyarrow"
+                )
+            )
+            .groupby("__bucket")
+            .map_groups(
+                lambda g: _anti(g.drop_columns(["__bucket"])),
+                batch_format="pyarrow",
+            )
+        )
+
+        def _clean(t: pa.Table) -> pa.Table:
+            keep = ~bloom_maybe(cached_ref(bits_ref), _text_hash64(t["text"]))
+            return pa.Table.from_pydict({"doc_id": t["doc_id"]}).filter(
+                pa.array(keep)
+            )
+
+        return new.map_batches(_clean, batch_format="pyarrow").union(shuffled)
+
+    if method == "join":
+        return _join_verify()
 
     # phase 2: new side probes the filter; DISTINCT positive hashes out
     def _cand(t: pa.Table) -> pa.Table:
@@ -234,15 +317,19 @@ def incremental_dedup(
         )
 
     cand: set[int] = set()
-    for b in new.map_batches(_cand, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
-        cand.update(b["h"].to_pylist())
-        if len(cand) > _BLOOM_CAND_MAX:
-            raise BroadcastIdSetTooLarge(
-                f"bloom candidate set exceeded {_BLOOM_CAND_MAX} — switch "
-                "the verify to a hash-bucketed join on the content hash"
-            )
+    try:
+        for b in new.map_batches(_cand, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            cand.update(b["h"].to_pylist())
+            if len(cand) > _BLOOM_CAND_MAX:
+                raise BroadcastIdSetTooLarge(
+                    f"bloom candidate set exceeded {_BLOOM_CAND_MAX}"
+                )
+    except BroadcastIdSetTooLarge:
+        if method == "auto":
+            return _join_verify()
+        raise
     cand_sorted = np.sort(
         np.fromiter(cand, dtype=np.int64, count=len(cand)).view(np.uint64)
     )

@@ -95,10 +95,26 @@ def test_incremental_dedup_drops_cross_boundary_dups(ray_session, dup_corpus):
     assert got == want
 
 
+def test_incremental_dedup_join_mode_pinned_equal(ray_session, dup_corpus):
+    from datacat_ray.pipelines.dedup_ops import incremental_dedup
+
+    sf, expected = dup_corpus
+    got = sorted(
+        r["doc_id"] for r in incremental_dedup(sf, method="join").take_all()
+    )
+    assert got == expected
+
+
 def test_incremental_dedup_candidate_cap(ray_session, dup_corpus, monkeypatch):
     from datacat_ray.pipelines import dedup_ops
 
-    sf, _ = dup_corpus
+    sf, expected = dup_corpus
     monkeypatch.setattr(dedup_ops, "_BLOOM_CAND_MAX", 3)
+    # auto falls back to the bucketed anti-join at the cap — same rows
+    got = sorted(
+        r["doc_id"] for r in dedup_ops.incremental_dedup(sf).take_all()
+    )
+    assert got == expected
+    # explicit broadcast mode still surfaces the cap
     with pytest.raises(dedup_ops.BroadcastIdSetTooLarge):
-        dedup_ops.incremental_dedup(sf).take_all()
+        dedup_ops.incremental_dedup(sf, method="broadcast").take_all()
