@@ -138,13 +138,23 @@ class CRFDecoder:
         n = len(feats)
         E = np.zeros((n, self.L), dtype=np.float64)
         cache = self._ecache
-        refs = self._refs
-        for t in range(n):
-            key = tuple(
-                feats[t + off][name] if 0 <= t + off < n
-                else (f"_B{off}_" if t + off < 0 else f"_B+{off}_")
-                for off, name in refs
-            )
+        # column-wise key construction: one padded value list per (off,
+        # name) ref (a tight listcomp + slice), then ``zip`` builds all n
+        # key tuples in C — the per-position genexpr this replaces did
+        # n×refs dict lookups through the interpreter loop (~7% of the
+        # whole extraction kernel, profiled)
+        cols = []
+        for off, name in self._refs:
+            vals = [f[name] for f in feats]
+            if off < 0:
+                cols.append(
+                    [f"_B{off}_"] * min(-off, n) + vals[: max(n + off, 0)]
+                )
+            elif off > 0:
+                cols.append(vals[off:] + [f"_B+{off}_"] * min(off, n))
+            else:
+                cols.append(vals)
+        for t, key in enumerate(zip(*cols)):
             row = cache.get(key)
             if row is None:
                 if len(cache) >= _EMISSION_CACHE_MAX:
