@@ -134,9 +134,12 @@ class CRFDecoder:
                 row += v
         return row
 
-    def emissions(self, feats: list[dict]) -> np.ndarray:
+    def emissions(self, feats: list[dict]) -> list[list[float]]:
+        """One emission row (plain float list, ready for the list-based
+        Viterbi) per position. Rows are cached as LISTS: the only consumer
+        is ``decode``, so materializing an (n, L) ndarray just to
+        ``tolist()`` it back was pure overhead (profiled)."""
         n = len(feats)
-        E = np.zeros((n, self.L), dtype=np.float64)
         cache = self._ecache
         # column-wise key construction: one padded value list per (off,
         # name) ref (a tight listcomp + slice), then ``zip`` builds all n
@@ -154,14 +157,15 @@ class CRFDecoder:
                 cols.append(vals[off:] + [f"_B+{off}_"] * min(off, n))
             else:
                 cols.append(vals)
+        E: list[list[float]] = []
         for t, key in enumerate(zip(*cols)):
             row = cache.get(key)
             if row is None:
                 if len(cache) >= _EMISSION_CACHE_MAX:
                     cache.clear()
-                row = self._emission_row(feats, t, n)
+                row = self._emission_row(feats, t, n).tolist()
                 cache[key] = row
-            E[t] = row
+            E.append(row)
         return E
 
     def decode(self, feats: list[dict]) -> list[str]:
@@ -178,7 +182,7 @@ class CRFDecoder:
         n = len(feats)
         if n == 0:
             return []
-        E = self.emissions(feats).tolist()
+        E = self.emissions(feats)
         L = self.L
         rng = range(L)
         # trans column-major: _tcols[j][i] = trans[i, j]
