@@ -147,8 +147,11 @@ class CRFDecoder:
         # n×refs dict lookups through the interpreter loop (~7% of the
         # whole extraction kernel, profiled)
         cols = []
+        by_name: dict[str, list] = {}
         for off, name in self._refs:
-            vals = [f[name] for f in feats]
+            vals = by_name.get(name)
+            if vals is None:
+                vals = by_name[name] = [f[name] for f in feats]
             if off < 0:
                 cols.append(
                     [f"_B{off}_"] * min(-off, n) + vals[: max(n + off, 0)]
