@@ -140,29 +140,47 @@ def featurize_body_tokens(
     indices: list[int] = []
     prev_font: tuple | None = None
     prev_size: float | None = None
+    # line-derived values hoisted out of the token loop: tokens stream in
+    # line order, so everything keyed on li recomputes only at line breaks
+    cur_li = -1
+    font = size = None
+    bold = ital = 0
+    rel_doc = rel_page = 0
+    lf = ll = bf = bl = None
     for start, end in body_ranges:
         for t in range(start, end):
             tok = tokens[t]
             if _is_space_token(tok):
                 continue
             li = token_line[t]
-            ln = lines[li]
-            b = ln["block_id"]
-            if t == block_first.get(b):
+            if li != cur_li:
+                cur_li = li
+                ln = lines[li]
+                b = ln["block_id"]
+                font = (ln["bold"], ln["italic"])
+                size = ln["font_size"]
+                bold = int(bool(ln["bold"]))
+                ital = int(bool(ln["italic"]))
+                pg = ln["page"]
+                rel_doc = linear_scaling(li, n_lines, NBBINS_POSITION)
+                rel_page = linear_scaling(
+                    li - page_first[pg], page_count[pg], NBBINS_POSITION
+                )
+                lf, ll = line_first.get(li), line_last.get(li)
+                bf, bl = block_first.get(b), block_last.get(b)
+            if t == bf:
                 block_status = "BLOCKSTART"
-            elif t == block_last.get(b):
+            elif t == bl:
                 block_status = "BLOCKEND"
             else:
                 block_status = "BLOCKIN"
-            if t == line_first.get(li):
+            if t == lf:
                 line_status = "LINESTART"
-            elif t == line_last.get(li):
+            elif t == ll:
                 line_status = "LINEEND"
             else:
                 line_status = "LINEIN"
-            font = (ln["bold"], ln["italic"])
             font_status = "SAMEFONT" if font == prev_font else "NEWFONT"
-            size = ln["font_size"]
             if prev_size is None or size == prev_size:
                 font_size_status = "SAMEFONTSIZE"
             elif size > prev_size:
@@ -170,20 +188,16 @@ def featurize_body_tokens(
             else:
                 font_size_status = "LOWERFONT"
             prev_font, prev_size = font, size
-            pg = ln["page"]
-            idx_in_page = li - page_first[pg]
             f = dict(_token_static(tok))
             f["block_status"] = block_status
             f["line_status"] = line_status
             f["alignment_status"] = "ALIGNEDLEFT"
             f["font_status"] = font_status
             f["font_size_status"] = font_size_status
-            f["bold"] = int(bool(ln["bold"]))
-            f["italic"] = int(bool(ln["italic"]))
-            f["rel_doc_position"] = linear_scaling(li, n_lines, NBBINS_POSITION)
-            f["rel_page_position"] = linear_scaling(
-                idx_in_page, page_count[pg], NBBINS_POSITION
-            )
+            f["bold"] = bold
+            f["italic"] = ital
+            f["rel_doc_position"] = rel_doc
+            f["rel_page_position"] = rel_page
             f["bitmap_around"] = 0
             feats.append(f)
             indices.append(t)
