@@ -105,6 +105,30 @@ def test_incremental_dedup_join_mode_pinned_equal(ray_session, dup_corpus):
     assert got == expected
 
 
+def test_incremental_dedup_edges(ray_session, tmp_path):
+    """Empty snapshot (snapshot_docs=0 → nothing filtered), all-dup new
+    side (everything dropped), both modes."""
+    from datacat_ray.pipelines.dedup_ops import incremental_dedup
+
+    d1 = tmp_path / "empty_snap"
+    d1.mkdir()
+    _write_docs(str(d1 / "documents.parquet"),
+                [300, 301, 302], ["a", "b", "a"])
+    for m in ("broadcast", "join"):
+        got = sorted(r["doc_id"] for r in
+                     incremental_dedup(str(d1), method=m).take_all())
+        assert got == [300, 301, 302], m  # no snapshot rows → all survive
+
+    d2 = tmp_path / "all_dup"
+    d2.mkdir()
+    _write_docs(str(d2 / "documents.parquet"),
+                [0, 1, 300, 301], ["x", "y", "x", "y"])
+    for m in ("broadcast", "join"):
+        got = [r["doc_id"] for r in
+               incremental_dedup(str(d2), method=m).take_all()]
+        assert got == [], m
+
+
 def test_incremental_dedup_candidate_cap(ray_session, dup_corpus, monkeypatch):
     from datacat_ray.pipelines import dedup_ops
 
