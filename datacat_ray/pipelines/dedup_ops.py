@@ -188,11 +188,14 @@ def _bloom_of(ds, probe_ref=None) -> "np.ndarray":
             {"bloom": pa.array([merged.tobytes()], pa.binary())}
         )
 
-    folded = (
-        ds.map_batches(_partial, batch_format="pyarrow")
-        .map_batches(_fold, batch_format="pyarrow", batch_size=64)
-        .take_all()
-    )
+    out = ds.map_batches(_partial, batch_format="pyarrow")
+    # four 64-way fold levels bound the driver to one 128 KB row per 64^4
+    # source batches (~17M) — at 10^12 rows / 10k-row batches that is ≤6
+    # rows on the driver; at small scale the extra levels are single-task
+    # pass-throughs
+    for _ in range(4):
+        out = out.map_batches(_fold, batch_format="pyarrow", batch_size=64)
+    folded = out.take_all()
     return bloom_merge([np.frombuffer(r["bloom"], np.uint64) for r in folded])
 
 
