@@ -143,6 +143,7 @@ DUPLICATE_CLUSTERS_SQL = """
 
 INCR_SNAPSHOT_DOCS = 300  # doc_ids [0, 300) stand in for the prior snapshot
 _BLOOM_CAND_MAX = 2_000_000  # candidate-hash broadcast cap (16 MB)
+_BLOOM_TEXT_BYTES_MAX = 128 * 1024 * 1024  # candidate-TEXT broadcast cap
 
 
 def _text_hash64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
@@ -156,13 +157,15 @@ def _text_hash64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return pl.from_arrow(c).hash(seed=20260817).to_numpy().astype(np.uint64)
 
 
-def _bloom_of(ds, probe_ref=None) -> "np.ndarray":
-    """Stream a documents Dataset into ONE merged Bloom filter: per-batch
-    partials (128 KB each), OR-folded 64-at-a-time by a tree stage so the
-    driver sees one row per 64 batches. With ``probe_ref``, only rows that
-    HIT that filter contribute (used to build the new-side candidate bloom
-    in join mode)."""
+def _bloom_of(ds, probe_ref=None, m_bits: int | None = None) -> "np.ndarray":
+    """Stream a documents Dataset into ONE merged Bloom filter of
+    ``m_bits`` (default BLOOM_BITS): per-batch partials, OR-folded by a
+    tree of fold stages sized so each fold task holds ≤256 MB of partials
+    and the driver sees a handful of rows even at 10^8 source batches.
+    With ``probe_ref``, only rows that HIT that filter contribute (used to
+    build the new-side candidate bloom in join mode)."""
     from datacat_ray.functions.bloom import (
+        BLOOM_BITS,
         bloom_add,
         bloom_maybe,
         bloom_merge,
@@ -170,11 +173,13 @@ def _bloom_of(ds, probe_ref=None) -> "np.ndarray":
     )
     from datacat_ray.stages.bucketed import cached_ref
 
+    m = int(m_bits or BLOOM_BITS)
+
     def _partial(t: pa.Table) -> pa.Table:
         h = _text_hash64(t["text"])
         if probe_ref is not None:
             h = h[bloom_maybe(cached_ref(probe_ref), h)]
-        bits = bloom_zeros()
+        bits = bloom_zeros(m)
         bloom_add(bits, h)
         return pa.Table.from_pydict(
             {"bloom": pa.array([bits.tobytes()], pa.binary())}
@@ -189,12 +194,13 @@ def _bloom_of(ds, probe_ref=None) -> "np.ndarray":
         )
 
     out = ds.map_batches(_partial, batch_format="pyarrow")
-    # four 64-way fold levels bound the driver to one 128 KB row per 64^4
-    # source batches (~17M) — at 10^12 rows / 10k-row batches that is ≤6
-    # rows on the driver; at small scale the extra levels are single-task
-    # pass-throughs
-    for _ in range(4):
-        out = out.map_batches(_fold, batch_format="pyarrow", batch_size=64)
+    # fold width bounded by a 256 MB per-task partial budget; enough
+    # levels that width^levels covers 10^9 source batches — at small scale
+    # the extra levels are single-task pass-throughs
+    width = max(4, min(64, (1 << 28) // (m // 8)))
+    levels = max(4, int(np.ceil(np.log(1e9) / np.log(width))))
+    for _ in range(levels):
+        out = out.map_batches(_fold, batch_format="pyarrow", batch_size=width)
     folded = out.take_all()
     return bloom_merge([np.frombuffer(r["bloom"], np.uint64) for r in folded])
 
@@ -211,29 +217,39 @@ def incremental_dedup(
     re-broadcasting the snapshot.
 
     Scale shape (functions/bloom.py): the snapshot streams ONCE into
-    per-batch Bloom partials merged by a tree fold (bitwise OR — the
-    driver sees one 128 KB row per 64 batches, and the broadcast filter is
-    a FIXED 128 KB no matter how many snapshot rows exist, unlike the
-    snapshot-proportional broadcast set in ``decontaminate``). The new
-    side probes the filter vectorized; only Bloom-POSITIVE rows (true dups
-    + ~1% false positives) reach the exact verify, so the output is EXACT
-    (text equality, nulls == empty), byte-matching the SQL anti-join
-    oracle.
+    per-batch Bloom partials merged by a tree fold (bitwise OR). The
+    filter is SIZED to the snapshot row count (parquet-metadata count →
+    ``bloom_bits_for``: 16 bits/key ≈ 0.14% FP, clamped to a 16 MB
+    broadcast) — fixed-size per key budget, unlike the
+    snapshot-proportional broadcast set in ``decontaminate``. The new side
+    probes the filter vectorized; only Bloom-POSITIVE rows (true dups +
+    the FP tail) reach the exact verify, so the output is EXACT (text
+    equality, nulls == empty), byte-matching the SQL anti-join oracle.
+    Past ~8M snapshot keys even the max filter saturates (``bloom_fp`` >
+    25%): the prefilter is then SKIPPED and the operator runs the plain
+    bucketed anti-join — the classic exact shape at that scale — rather
+    than paying for a no-op prune.
 
     ``method="broadcast"``: the verify fetches the matching snapshot
     TEXTS via a membership-filtered second snapshot pass and broadcasts
-    them (O(candidates) driver memory, capped at ``_BLOOM_CAND_MAX`` →
+    them (O(candidates) driver memory, capped BOTH on candidate count
+    (``_BLOOM_CAND_MAX``) and on text BYTES (``_BLOOM_TEXT_BYTES_MAX`` —
+    a few huge duplicate documents must not OOM the driver) →
     ``BroadcastIdSetTooLarge``). ``method="join"`` (the regime where
     candidates are corpus-proportional): both sides' bloom-positive rows
     shuffle ONCE on an int bucket of the text hash and each bucket runs a
     vectorized ``pc.is_in`` anti-join — nothing candidate-proportional
     ever sits on the driver; the snapshot side is pruned by a SECOND
-    128 KB bloom built over the new side's positives before the exchange.
-    ``"auto"`` tries broadcast and falls back to join at the cap, pinned
-    equal in tests (test_bloom)."""
+    bloom built over the new side's positives before the exchange.
+    ``"auto"`` tries broadcast and falls back to join at either cap,
+    pinned equal in tests (test_bloom)."""
     import pyarrow.dataset as pads
 
-    from datacat_ray.functions.bloom import bloom_maybe
+    from datacat_ray.functions.bloom import (
+        bloom_bits_for,
+        bloom_fp,
+        bloom_maybe,
+    )
     from datacat_ray.stages.bucketed import cached_ref
 
     path = f"{sf_dir}/documents.parquet"
@@ -244,10 +260,17 @@ def incremental_dedup(
             path, columns=["doc_id", "text"], filter=fld < snapshot_docs
         )
 
-    bits_ref = ray.put(_bloom_of(_snap()))
-
     new = ray.data.read_parquet(
         path, columns=["doc_id", "text"], filter=fld >= snapshot_docs
+    )
+
+    n_snap = pads.dataset(path, format="parquet").count_rows(
+        filter=fld < snapshot_docs
+    )
+    m_bits = bloom_bits_for(n_snap)
+    use_bloom = bloom_fp(n_snap, m_bits) <= 0.25
+    bits_ref = (
+        ray.put(_bloom_of(_snap(), m_bits=m_bits)) if use_bloom else None
     )
 
     def _join_verify() -> "ray.data.Dataset":
@@ -256,12 +279,15 @@ def incremental_dedup(
         # prune the snapshot shuffle side with a bloom over the NEW
         # side's positives (saturation only weakens the prune, never
         # correctness); both sides then exchange (text, …) on an int
-        # bucket of the text hash
-        nb_ref = ray.put(_bloom_of(new, probe_ref=bits_ref))
+        # bucket of the text hash. With the prefilter skipped (saturated
+        # snapshot), both sides ship whole — the plain bucketed anti-join.
+        nb_ref = (
+            ray.put(_bloom_of(new, probe_ref=bits_ref, m_bits=m_bits))
+            if use_bloom
+            else None
+        )
 
         def _side(t: pa.Table, probe, src: int) -> pa.Table:
-            h = _text_hash64(t["text"])
-            m = bloom_maybe(cached_ref(probe), h)
             kept = pa.Table.from_pydict(
                 {
                     "doc_id": t["doc_id"],
@@ -270,7 +296,10 @@ def incremental_dedup(
                         np.full(t.num_rows, src, dtype=np.int8), pa.int8()
                     ),
                 }
-            ).filter(pa.array(m))
+            )
+            if probe is not None:
+                h = _text_hash64(t["text"])
+                kept = kept.filter(pa.array(bloom_maybe(cached_ref(probe), h)))
             return add_bucket(kept, "text")
 
         def _anti(g: pa.Table) -> pa.Table:
@@ -300,6 +329,11 @@ def incremental_dedup(
             )
         )
 
+        if not use_bloom:
+            # every new row went through the shuffle; there is no
+            # bloom-negative clean path to union back
+            return shuffled
+
         def _clean(t: pa.Table) -> pa.Table:
             keep = ~bloom_maybe(cached_ref(bits_ref), _text_hash64(t["text"]))
             return pa.Table.from_pydict({"doc_id": t["doc_id"]}).filter(
@@ -308,7 +342,10 @@ def incremental_dedup(
 
         return new.map_batches(_clean, batch_format="pyarrow").union(shuffled)
 
-    if method == "join":
+    if method == "join" or not use_bloom:
+        # saturated prefilter + broadcast was requested: the candidate set
+        # is by construction corpus-sized, which is exactly what the caps
+        # exist to prevent — route to the join regardless of method
         return _join_verify()
 
     # phase 2: new side probes the filter; DISTINCT positive hashes out
@@ -351,13 +388,26 @@ def incremental_dedup(
             }
         )
 
-    seen_texts = frozenset(
-        r["text"]
-        for r in _snap()
-        .map_batches(_snap_texts, batch_format="pyarrow")
-        .take_all()
-    )
-    texts_ref = ray.put(seen_texts)
+    # the broadcast is the candidate TEXTS, not their hashes — cap on
+    # BYTES too (a few huge duplicate documents must not OOM the driver)
+    texts: list[str] = []
+    nbytes = 0
+    try:
+        for b in _snap().map_batches(
+            _snap_texts, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow"):
+            nbytes += b["text"].nbytes
+            if nbytes > _BLOOM_TEXT_BYTES_MAX:
+                raise BroadcastIdSetTooLarge(
+                    f"candidate text broadcast exceeded "
+                    f"{_BLOOM_TEXT_BYTES_MAX} bytes"
+                )
+            texts.extend(b["text"].to_pylist())
+    except BroadcastIdSetTooLarge:
+        if method == "auto":
+            return _join_verify()
+        raise
+    texts_ref = ray.put(frozenset(texts))
 
     def _final(t: pa.Table) -> pa.Table:
         h = _text_hash64(t["text"])
@@ -1087,7 +1137,12 @@ def neardup_clusters(
         # per-PROCESS scratch: keyed by pid as well as the inputs, so two
         # concurrent runs over the same corpus (paired bench probes) never
         # clear each other's edge spill mid-read. Cross-process resume
-        # needs an explicit work_dir.
+        # needs an explicit work_dir; dead owners' dirs are reaped here.
+        from datacat_ray.stages.dedup import reap_stale_scratch
+
+        reap_stale_scratch(
+            "datacat_lp_", lambda f: f == "edges" or f.startswith("round-")
+        )
         digest = hashlib.sha1(
             f"{sf_dir}:{threshold}".encode()
         ).hexdigest()[:12]
@@ -1447,12 +1502,16 @@ def ngram_jaccard_pairs(
 
     from datacat_ray.stages.dedup import clear_cache_dir
 
+    from datacat_ray.stages.dedup import reap_stale_scratch
+
+    _is_pq = lambda f: f.endswith(".parquet")  # noqa: E731
+    reap_stale_scratch("datacat_njp_", _is_pq)  # dead owners' leftovers
     digest = hashlib.sha1(f"{sf_dir}:{threshold}".encode()).hexdigest()[:12]
     spill = os.path.join(
         tempfile.gettempdir(), f"datacat_njp_{digest}_{os.getpid()}"
     )
     if os.path.isdir(spill):
-        clear_cache_dir(spill, lambda f: f.endswith(".parquet"))
+        clear_cache_dir(spill, _is_pq)
     os.makedirs(spill, exist_ok=True)
     minhash_candidate_pairs(sf_dir, threshold=0.5).write_parquet(spill)
     n_cands = pads.dataset(spill, format="parquet").count_rows()

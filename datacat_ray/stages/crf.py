@@ -112,7 +112,9 @@ class CRFDecoder:
         self._refs = tuple(sorted(
             {(off, name) for _, refs in model.templates for off, name in refs}
         ))
-        self._ecache: dict[tuple, np.ndarray] = {}
+        # rows cache as plain float LISTS and are ALIASED into every E
+        # emissions() returns — consumers must never mutate a row in place
+        self._ecache: dict[tuple, list[float]] = {}
         self._init_list = self.init.tolist()
         self._tcols = self.trans.T.tolist()  # _tcols[j][i] = trans[i, j]
 
@@ -161,7 +163,10 @@ class CRFDecoder:
             else:
                 cols.append(vals)
         E: list[list[float]] = []
-        for t, key in enumerate(zip(*cols)):
+        # zero-ref models (e.g. a comments-only template file) produce no
+        # columns; zip(*[]) would yield NOTHING, not n empty keys
+        keys = zip(*cols) if cols else (() for _ in range(n))
+        for t, key in enumerate(keys):
             row = cache.get(key)
             if row is None:
                 if len(cache) >= _EMISSION_CACHE_MAX:

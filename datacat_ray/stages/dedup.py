@@ -209,6 +209,29 @@ def input_fingerprint(path) -> str:
     return h.hexdigest()
 
 
+def reap_stale_scratch(prefix: str, allowed) -> None:
+    """Delete pid-keyed scratch dirs (``<prefix><digest>_<pid>``) whose
+    owning process is gone — pid-keying prevents concurrent runs from
+    clearing each other's spill, but without a reaper every invocation
+    would leak a corpus-proportional dir in /tmp. Uses /proc liveness (a
+    live pid's dir is never touched) and the same content guard as
+    ``clear_cache_dir``: a dir holding anything unexpected is skipped, not
+    deleted."""
+    import glob
+    import tempfile
+
+    for d in glob.glob(
+        os.path.join(tempfile.gettempdir(), prefix + "*_*")
+    ):
+        pid = d.rsplit("_", 1)[-1]
+        if not pid.isdigit() or os.path.exists(f"/proc/{pid}"):
+            continue
+        try:
+            clear_cache_dir(d, allowed)
+        except (ValueError, OSError):
+            pass  # not ours / raced — leave it
+
+
 def clear_cache_dir(d: str, allowed) -> None:
     """Remove a stale/torn derived-artifact directory — but ONLY if every
     entry looks like one of ours (``allowed(name)``). A caller pointing a

@@ -43,6 +43,27 @@ def test_bloom_kernels():
     assert BLOOM_K >= 1
 
 
+def test_bloom_sizing():
+    from datacat_ray.functions.bloom import (
+        BLOOM_MAX_BITS,
+        bloom_bits_for,
+        bloom_fp,
+    )
+
+    assert bloom_bits_for(1) == 1 << 20
+    assert bloom_bits_for(100_000) == 1 << 21  # 16 bits/key, next pow2
+    assert bloom_bits_for(10**12) == BLOOM_MAX_BITS  # clamped
+    assert bloom_fp(100_000, 1 << 21) < 0.01
+    assert bloom_fp(10**9, BLOOM_MAX_BITS) > 0.25  # saturation detectable
+
+    # a non-default m round-trips through add/maybe (m inferred from bits)
+    rng = np.random.RandomState(3)
+    keys = rng.randint(0, 2**63, size=1000).astype(np.uint64)
+    bits = bloom_zeros(1 << 22)
+    bloom_add(bits, keys)
+    assert bloom_maybe(bits, keys).all()
+
+
 def _write_docs(path, ids, texts):
     pq.write_table(
         pa.Table.from_pydict(
@@ -105,6 +126,31 @@ def test_incremental_dedup_join_mode_pinned_equal(ray_session, dup_corpus):
     assert got == expected
 
 
+def test_reap_stale_scratch(tmp_path, monkeypatch):
+    """Dead-owner pid-keyed scratch dirs are reaped; live-pid and
+    foreign-content dirs are left alone."""
+    import os
+    import tempfile
+
+    from datacat_ray.stages.dedup import reap_stale_scratch
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    dead = tmp_path / "datacat_njp_abc123_999999999"
+    dead.mkdir()
+    (dead / "part-0.parquet").write_bytes(b"x")
+    live = tmp_path / f"datacat_njp_abc123_{os.getpid()}"
+    live.mkdir()
+    (live / "part-0.parquet").write_bytes(b"x")
+    foreign = tmp_path / "datacat_njp_zzz_888888888"
+    foreign.mkdir()
+    (foreign / "precious.txt").write_bytes(b"x")  # content guard skips
+
+    reap_stale_scratch("datacat_njp_", lambda f: f.endswith(".parquet"))
+    assert not dead.exists()
+    assert live.exists()
+    assert foreign.exists()
+
+
 def test_incremental_dedup_edges(ray_session, tmp_path):
     """Empty snapshot (snapshot_docs=0 → nothing filtered), all-dup new
     side (everything dropped), both modes."""
@@ -142,3 +188,37 @@ def test_incremental_dedup_candidate_cap(ray_session, dup_corpus, monkeypatch):
     # explicit broadcast mode still surfaces the cap
     with pytest.raises(dedup_ops.BroadcastIdSetTooLarge):
         dedup_ops.incremental_dedup(sf, method="broadcast").take_all()
+
+
+def test_incremental_dedup_text_bytes_cap(ray_session, dup_corpus,
+                                          monkeypatch):
+    """The TEXT broadcast is byte-capped independently of the hash-count
+    cap: auto falls back to the join, broadcast raises."""
+    from datacat_ray.pipelines import dedup_ops
+
+    sf, expected = dup_corpus
+    monkeypatch.setattr(dedup_ops, "_BLOOM_TEXT_BYTES_MAX", 8)
+    got = sorted(
+        r["doc_id"] for r in dedup_ops.incremental_dedup(sf).take_all()
+    )
+    assert got == expected
+    with pytest.raises(dedup_ops.BroadcastIdSetTooLarge):
+        dedup_ops.incremental_dedup(sf, method="broadcast").take_all()
+
+
+def test_incremental_dedup_saturated_bloom_skips_prefilter(
+    ray_session, dup_corpus, monkeypatch
+):
+    """When even the max filter would saturate, the prefilter is skipped
+    and the plain bucketed anti-join runs — same rows, any method."""
+    import datacat_ray.functions.bloom as B
+    from datacat_ray.pipelines import dedup_ops
+
+    sf, expected = dup_corpus
+    monkeypatch.setattr(B, "bloom_fp", lambda n, m: 1.0)
+    for m in ("auto", "broadcast", "join"):
+        got = sorted(
+            r["doc_id"]
+            for r in dedup_ops.incremental_dedup(sf, method=m).take_all()
+        )
+        assert got == expected, m

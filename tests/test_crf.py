@@ -34,6 +34,17 @@ def test_viterbi_basic_and_sticky():
     assert dec.decode([]) == []
 
 
+def test_decode_zero_ref_model():
+    """A model whose templates expand to NO refs (comments-only template
+    file) still decodes n positions from transitions alone — regression
+    pin for the column-wise key construction (zip of zero columns)."""
+    m = CRFModel(labels=("A", "B"), templates=(),
+                 weights={}, transitions={("A", "A"): 1.0}, init={"A": 0.5})
+    dec = CRFDecoder(m)
+    assert dec.decode([{"x": "q"}, {"x": "r"}, {"x": "s"}]) == ["A", "A", "A"]
+    assert dec.decode([]) == []
+
+
 def test_decode_deterministic_tie_break():
     flat = CRFModel(labels=("A", "B"), templates=(("U", ((0, "x"),)),),
                     weights={}, transitions={})
