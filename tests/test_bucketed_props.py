@@ -191,3 +191,48 @@ def test_interval_window_kernel_matches_brute_force(rows):
             if oe != ae and ou == au and at - W <= ot <= at + W
         )
     assert got == want
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), max_size=60),
+    st.lists(st.integers(min_value=0, max_value=50), max_size=40),
+)
+def test_sorted_hits_matches_brute_force(keys, pool):
+    """sorted_hits == the obvious dict probe, any overlap/dup pattern —
+    this is the one shared membership kernel every broadcast-lookup
+    filter (winner probe, LP label assignment) rides on."""
+    from datacat_ray.stages.dedup import sorted_hits
+
+    sorted_pool = np.array(sorted(set(pool)), dtype=np.int64)
+    hit, pos = sorted_hits(np.array(keys, dtype=np.int64), sorted_pool)
+    want_rows = [i for i, k in enumerate(keys) if k in set(pool)]
+    assert hit.tolist() == want_rows
+    assert all(sorted_pool[p] == keys[i] for i, p in zip(hit, pos))
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 5)),
+        max_size=50,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 5)),
+        max_size=30,
+    ),
+)
+def test_winner_mask_matches_dict_probe(rows, winners):
+    """winner_mask == {hash: ts}.get probe per row (the r3 reference
+    implementation it replaced)."""
+    from datacat_ray.stages.dedup import winner_mask, winners_to_arrays
+
+    wdict = {}
+    for h, ts in winners:
+        wdict[h] = max(ts, wdict.get(h, ts))
+    hashes = np.array([r[0] for r in rows], dtype=np.uint64)
+    tss = np.array([r[1] for r in rows], dtype=np.int64)
+    wh, wts = winners_to_arrays({np.uint64(k): v for k, v in wdict.items()})
+    got = winner_mask(hashes, tss, wh, wts)
+    want = [wdict.get(r[0]) == r[1] for r in rows]
+    assert got.tolist() == want
