@@ -242,7 +242,14 @@ def incremental_dedup(
     ever sits on the driver; the snapshot side is pruned by a SECOND
     bloom built over the new side's positives before the exchange.
     ``"auto"`` tries broadcast and falls back to join at either cap,
-    pinned equal in tests (test_bloom)."""
+    pinned equal in tests (test_bloom).
+
+    Operational note: this standalone form reads the snapshot twice
+    (bloom build + text fetch). A pipeline that OWNS ingestion would
+    persist the snapshot's (content-hash) column as a narrow parquet
+    sidecar at ingest time, making both snapshot passes read the sidecar
+    instead of the full table — the code shape here is unchanged, only
+    the ``_snap()`` source swaps."""
     import pyarrow.dataset as pads
 
     from datacat_ray.functions.bloom import (
