@@ -40,8 +40,9 @@ def bloom_bits_for(n_keys: int, max_bits: int = BLOOM_MAX_BITS) -> int:
     (FP ≈ 0.14% at k=5), clamped to [BLOOM_BITS, max_bits]. Callers check
     ``bloom_fp(n, m)`` and skip the filter when even max_bits saturates —
     a saturated prefilter is wasted compute, never a correctness issue."""
-    want = 1 << max(20, int(np.ceil(np.log2(max(16 * n_keys, 1)))))
-    return min(max(want, BLOOM_BITS), max_bits)
+    floor = int(np.log2(BLOOM_BITS))
+    want = 1 << max(floor, int(np.ceil(np.log2(max(16 * n_keys, 1)))))
+    return min(want, max_bits)
 
 
 def bloom_fp(n_keys: int, m_bits: int) -> float:
@@ -79,7 +80,11 @@ def bloom_maybe(bits: np.ndarray, keys: np.ndarray) -> np.ndarray:
 
 
 def bloom_merge(parts: list[np.ndarray]) -> np.ndarray:
-    out = bloom_zeros()
+    """OR-fold partials of ANY (consistent) size — the output takes its
+    width from the partials, never from the default constant."""
+    if not parts:
+        return bloom_zeros()
+    out = np.zeros_like(parts[0])
     for p in parts:
         np.bitwise_or(out, p, out=out)
     return out

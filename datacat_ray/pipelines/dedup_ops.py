@@ -225,10 +225,11 @@ def incremental_dedup(
     probes the filter vectorized; only Bloom-POSITIVE rows (true dups +
     the FP tail) reach the exact verify, so the output is EXACT (text
     equality, nulls == empty), byte-matching the SQL anti-join oracle.
-    Past ~8M snapshot keys even the max filter saturates (``bloom_fp`` >
-    25%): the prefilter is then SKIPPED and the operator runs the plain
-    bucketed anti-join — the classic exact shape at that scale — rather
-    than paying for a no-op prune.
+    Past ~38M snapshot keys even the max filter saturates (``bloom_fp`` >
+    25% needs n > 0.28·m; at 8M keys the max filter is still at ~0.14%):
+    the prefilter is then SKIPPED and the operator runs the plain bucketed
+    anti-join — the classic exact shape at that scale — rather than
+    paying for a no-op prune.
 
     ``method="broadcast"``: the verify fetches the matching snapshot
     TEXTS via a membership-filtered second snapshot pass and broadcasts
@@ -244,12 +245,14 @@ def incremental_dedup(
     ``"auto"`` tries broadcast and falls back to join at either cap,
     pinned equal in tests (test_bloom).
 
-    Operational note: this standalone form reads the snapshot twice
-    (bloom build + text fetch). A pipeline that OWNS ingestion would
-    persist the snapshot's (content-hash) column as a narrow parquet
-    sidecar at ingest time, making both snapshot passes read the sidecar
-    instead of the full table — the code shape here is unchanged, only
-    the ``_snap()`` source swaps."""
+    Operational note: this standalone form reads the snapshot's text
+    twice (bloom build + text fetch) plus one NARROW doc_id-column count
+    scan for the filter sizing (row-group-stat prunable, no text bytes).
+    A pipeline that OWNS ingestion would persist the snapshot's
+    (content-hash) column as a narrow parquet sidecar at ingest time,
+    making the sizing count and the bloom build read the sidecar instead
+    of the full table — the code shape here is unchanged, only the
+    ``_snap()`` source swaps."""
     import pyarrow.dataset as pads
 
     from datacat_ray.functions.bloom import (
@@ -1507,9 +1510,7 @@ def ngram_jaccard_pairs(
 
     import pyarrow.dataset as pads
 
-    from datacat_ray.stages.dedup import clear_cache_dir
-
-    from datacat_ray.stages.dedup import reap_stale_scratch
+    from datacat_ray.stages.dedup import clear_cache_dir, reap_stale_scratch
 
     _is_pq = lambda f: f.endswith(".parquet")  # noqa: E731
     reap_stale_scratch("datacat_njp_", _is_pq)  # dead owners' leftovers

@@ -224,8 +224,15 @@ def reap_stale_scratch(prefix: str, allowed) -> None:
         os.path.join(tempfile.gettempdir(), prefix + "*_*")
     ):
         pid = d.rsplit("_", 1)[-1]
-        if not pid.isdigit() or os.path.exists(f"/proc/{pid}"):
+        if not pid.isdigit():
             continue
+        try:  # portable liveness probe (no procfs on macOS)
+            os.kill(int(pid), 0)
+            continue  # alive — never touch a live run's scratch
+        except ProcessLookupError:
+            pass  # dead owner → reapable
+        except (PermissionError, OSError):
+            continue  # exists but not ours / unknown — leave it
         try:
             clear_cache_dir(d, allowed)
         except (ValueError, OSError):

@@ -57,11 +57,18 @@ def test_bloom_sizing():
     assert bloom_fp(10**9, BLOOM_MAX_BITS) > 0.25  # saturation detectable
 
     # a non-default m round-trips through add/maybe (m inferred from bits)
+    # AND through merge — the fold must take its width from the partials,
+    # not the default constant (regression: sized partials crashed merge)
     rng = np.random.RandomState(3)
     keys = rng.randint(0, 2**63, size=1000).astype(np.uint64)
     bits = bloom_zeros(1 << 22)
     bloom_add(bits, keys)
     assert bloom_maybe(bits, keys).all()
+    p1, p2 = bloom_zeros(1 << 22), bloom_zeros(1 << 22)
+    bloom_add(p1, keys[:500])
+    bloom_add(p2, keys[500:])
+    assert (bloom_merge([p1, p2]) == bits).all()
+    assert bloom_merge([]).size == bloom_zeros().size
 
 
 def _write_docs(path, ids, texts):
@@ -204,6 +211,25 @@ def test_incremental_dedup_text_bytes_cap(ray_session, dup_corpus,
     assert got == expected
     with pytest.raises(dedup_ops.BroadcastIdSetTooLarge):
         dedup_ops.incremental_dedup(sf, method="broadcast").take_all()
+
+
+def test_incremental_dedup_sized_filter_end_to_end(
+    ray_session, dup_corpus, monkeypatch
+):
+    """The whole partial→tree-fold→broadcast path runs with a NON-default
+    filter size (regression: sized partials crashed bloom_merge's
+    default-width output)."""
+    import datacat_ray.functions.bloom as B
+    from datacat_ray.pipelines import dedup_ops
+
+    sf, expected = dup_corpus
+    monkeypatch.setattr(B, "bloom_bits_for", lambda n, max_bits=0: 1 << 22)
+    for m in ("broadcast", "join"):
+        got = sorted(
+            r["doc_id"]
+            for r in dedup_ops.incremental_dedup(sf, method=m).take_all()
+        )
+        assert got == expected, m
 
 
 def test_incremental_dedup_saturated_bloom_skips_prefilter(
