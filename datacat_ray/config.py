@@ -93,6 +93,12 @@ class PipelineConfig:
     # output
     output_partitions: int = 0  # 0 = leave to Ray
     lang_fallback: str = "fr"
+    # shared scratch root for the disk-spilling ops (MinHash sig cache, LP
+    # edge spill, Jaccard candidate spill, winner parquet, IVF index).
+    # Empty = resolve via DATACAT_SCRATCH then tempdir; on a >1-node
+    # cluster the tempdir fallback raises (datacat_ray/scratch.py) because
+    # node-local spill is unreadable from other nodes.
+    scratch_root: str = ""
     # skew: Ray splits blocks larger than this, so a handful of oversized
     # html rows (the fixture's 100-1000x-median tail) isolate into their own
     # blocks/tasks instead of delaying co-batched documents. Applied by
@@ -129,5 +135,8 @@ class PipelineConfig:
         stages."""
         from ray.data import DataContext
 
+        from datacat_ray.scratch import set_scratch_root
+
         ctx = DataContext.get_current()
         ctx.target_max_block_size = self.target_block_mb * 1024 * 1024
+        set_scratch_root(self.scratch_root)

@@ -243,7 +243,10 @@ def incremental_dedup(
     ever sits on the driver; the snapshot side is pruned by a SECOND
     bloom built over the new side's positives before the exchange.
     ``"auto"`` tries broadcast and falls back to join at either cap,
-    pinned equal in tests (test_bloom).
+    pinned equal in tests (test_bloom). When the prefilter is skipped
+    (saturated), explicit ``method="broadcast"`` raises
+    ``BroadcastIdSetTooLarge`` — same contract as the caps — while
+    ``"auto"`` routes to the join.
 
     Operational note: this standalone form reads the snapshot's text
     twice (bloom build + text fetch) plus one NARROW doc_id-column count
@@ -352,10 +355,18 @@ def incremental_dedup(
 
         return new.map_batches(_clean, batch_format="pyarrow").union(shuffled)
 
+    if method == "broadcast" and not use_bloom:
+        # with the prefilter skipped (saturated) every new row is a
+        # "candidate" — a corpus-sized broadcast, exactly what the caps
+        # exist to prevent. Mirror the cap behavior: explicit broadcast
+        # raises (the caller chose it for its resource shape and must
+        # hear that it is unavailable), auto falls through to the join.
+        raise BroadcastIdSetTooLarge(
+            "bloom prefilter is saturated at this snapshot size "
+            f"(n={n_snap}); method='broadcast' would broadcast the whole "
+            "snapshot. Use method='join' or 'auto'."
+        )
     if method == "join" or not use_bloom:
-        # saturated prefilter + broadcast was requested: the candidate set
-        # is by construction corpus-sized, which is exactly what the caps
-        # exist to prevent — route to the join regardless of method
         return _join_verify()
 
     # phase 2: new side probes the filter; DISTINCT positive hashes out
@@ -690,13 +701,16 @@ _SIG_MARKER = "_SIGS_OK_v1"
 def minhash_sig_cache_dir(sf_dir: str) -> str:
     """Default on-disk location of the sig cache for ``sf_dir`` — the ONE
     place the path scheme lives (bench.py clears it through this helper, so
-    a scheme change can never silently turn its cold numbers warm)."""
+    a scheme change can never silently turn its cold numbers warm). Rooted
+    at the shared scratch root (``DATACAT_SCRATCH`` /
+    ``PipelineConfig.scratch_root``); on a >1-node cluster the node-local
+    tempdir fallback raises (datacat_ray/scratch.py)."""
     import hashlib
-    import os
-    import tempfile
+
+    from datacat_ray.scratch import scratch_path
 
     digest = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), f"datacat_sigs_{digest}")
+    return scratch_path(f"datacat_sigs_{digest}")
 
 
 def minhash_sigs_parquet(sf_dir: str, sig_dir: str | None = None) -> str:
@@ -712,7 +726,6 @@ def minhash_sigs_parquet(sf_dir: str, sig_dir: str | None = None) -> str:
     shared storage on a multi-node cluster."""
     import hashlib
     import os
-    import tempfile
 
     from datacat_ray.stages.dedup import clear_cache_dir, input_fingerprint
 
@@ -1120,9 +1133,13 @@ def neardup_clusters(
     driver path in tests (test_neardup_lp). ``"auto"`` switches on the
     pair count (``_UF_MAX_PAIRS``). ``resume=True`` keeps the existing
     ``work_dir`` checkpoints (edge list + ``_ROUND_OK`` rounds) so a
-    crashed distributed run continues instead of restarting; the default
-    clears them through the content-guarded ``clear_cache_dir``, never a
-    blind rmtree of a caller path.
+    crashed distributed run continues instead of restarting — but ONLY
+    with an explicit ``work_dir``: the default dir is keyed by THIS
+    process's pid, so a crash-restarted process resolves a fresh dir and
+    can never find the old checkpoints (a warning is emitted for that
+    combination). The default (``resume=False``) clears checkpoints
+    through the content-guarded ``clear_cache_dir``, never a blind rmtree
+    of a caller path.
 
     Hot-bucket caveat: star-capped buckets (>MAX_BUCKET) only stay
     connected through star links whose signature Jaccard ALSO clears the
@@ -1132,7 +1149,6 @@ def neardup_clusters(
 
     import hashlib
     import os
-    import tempfile
 
     import pyarrow.dataset as pads
 
@@ -1148,6 +1164,17 @@ def neardup_clusters(
         # concurrent runs over the same corpus (paired bench probes) never
         # clear each other's edge spill mid-read. Cross-process resume
         # needs an explicit work_dir; dead owners' dirs are reaped here.
+        if resume:
+            import warnings
+
+            warnings.warn(
+                "neardup_clusters(resume=True) without an explicit "
+                "work_dir resolves a pid-keyed scratch dir — a "
+                "crash-restarted process gets a NEW pid, so there are no "
+                "checkpoints to resume from and the run recomputes from "
+                "scratch. Pass work_dir= to make resume effective.",
+                stacklevel=2,
+            )
         from datacat_ray.stages.dedup import reap_stale_scratch
 
         reap_stale_scratch(
@@ -1156,9 +1183,9 @@ def neardup_clusters(
         digest = hashlib.sha1(
             f"{sf_dir}:{threshold}".encode()
         ).hexdigest()[:12]
-        work_dir = os.path.join(
-            tempfile.gettempdir(), f"datacat_lp_{digest}_{os.getpid()}"
-        )
+        from datacat_ray.scratch import scratch_path
+
+        work_dir = scratch_path(f"datacat_lp_{digest}_{os.getpid()}")
     edges_path = os.path.join(work_dir, "edges")
 
     def _has_edges() -> bool:
@@ -1506,7 +1533,6 @@ def ngram_jaccard_pairs(
     METADATA."""
     import hashlib
     import os
-    import tempfile
 
     import pyarrow.dataset as pads
 
@@ -1515,9 +1541,9 @@ def ngram_jaccard_pairs(
     _is_pq = lambda f: f.endswith(".parquet")  # noqa: E731
     reap_stale_scratch("datacat_njp_", _is_pq)  # dead owners' leftovers
     digest = hashlib.sha1(f"{sf_dir}:{threshold}".encode()).hexdigest()[:12]
-    spill = os.path.join(
-        tempfile.gettempdir(), f"datacat_njp_{digest}_{os.getpid()}"
-    )
+    from datacat_ray.scratch import scratch_path
+
+    spill = scratch_path(f"datacat_njp_{digest}_{os.getpid()}")
     if os.path.isdir(spill):
         clear_cache_dir(spill, _is_pq)
     os.makedirs(spill, exist_ok=True)

@@ -248,10 +248,11 @@ def build_ivf_index(
 
     if index_dir is None:
         import hashlib
-        import tempfile
+
+        from datacat_ray.scratch import scratch_path
 
         digest = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
-        index_dir = os.path.join(tempfile.gettempdir(), f"datacat_ivf_{digest}")
+        index_dir = scratch_path(f"datacat_ivf_{digest}")
     from datacat_ray.stages.dedup import input_fingerprint
 
     # marker carries a layout version + the input fingerprint: stale caches
@@ -496,6 +497,17 @@ def select_nprobe(
                              index_dir=index_dir)
     meets = np.flatnonzero(curve >= target_recall)
     p = int(meets[0]) + 1 if len(meets) else len(curve)
+    # re-read just before writing and MERGE: two concurrent processes
+    # selecting under different (k, q, target) keys would otherwise
+    # last-writer-wins each other's entries out of the cache, forcing a
+    # redundant recall-curve pass later. The curve is deterministic per
+    # key, so merge order doesn't matter for same-key races.
+    if os.path.exists(cache):
+        try:
+            with open(cache) as fh:
+                d = json.load(fh)
+        except (json.JSONDecodeError, OSError):
+            d = {}
     d[key] = [p, float(curve[p - 1])]
     tmp = cache + f".tmp.{os.getpid()}"
     with open(tmp, "w") as fh:

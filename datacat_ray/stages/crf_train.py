@@ -360,8 +360,11 @@ class CRFShardWorker:
     every worker shipped a 30 MB vector per iteration and the driver
     folded shards×dim serially."""
 
-    def __init__(self, shard, n_feat: int, n_lab: int):
-        self._state = ShardState(shard, n_feat, n_lab)
+    def __init__(self, shard, n_feat: int, n_lab: int, dtype: str = "float32"):
+        # dtype crosses the actor boundary as a string (np dtype objects
+        # serialize fine, but the string form keeps the remote signature
+        # trivially picklable and log-readable)
+        self._state = ShardState(shard, n_feat, n_lab, dtype=np.dtype(dtype))
 
     def value_grad(self, x: np.ndarray, want_grad: bool):
         return self._state.value_grad_sparse(x, want_grad)
@@ -399,6 +402,7 @@ def train_crf_lbfgs(
     verbose: bool = False,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 10,
+    dtype: str = "float32",
 ) -> tuple[dict, dict]:
     """Train a linear-chain CRF by OWL-QN (L-BFGS when ``rho1 == 0``).
 
@@ -422,6 +426,11 @@ def train_crf_lbfgs(
     trajectory is equivalent but not bit-identical to an uninterrupted
     run; the checkpoint stores a corpus/hyperparameter fingerprint and
     refuses to resume across a mismatch).
+
+    ``dtype`` sets the shard hot-buffer precision (``"float32"`` default —
+    halves every bandwidth-bound stream; ``"float64"`` reproduces the
+    log-space reference to full precision, see ``ShardState``). Objective
+    terms accumulate in float64 either way.
     """
     indexed, vocab = index_sequences(seqs, labels)
     n_feat, n_lab = len(vocab), len(labels)
@@ -431,14 +440,14 @@ def train_crf_lbfgs(
     order = sorted(range(len(indexed)), key=lambda i: (-len(indexed[i][1]), i))
     workers = [
         CRFShardWorker.remote([indexed[i] for i in order[s::shards]],
-                              n_feat, n_lab)
+                              n_feat, n_lab, dtype)
         for s in range(shards)
     ]
     ckpt = None
     if checkpoint_dir is not None:
         fp_src = repr((sorted(vocab[:1000]), n_feat, n_lab, rho1, rho2,
                        epsilon, window, history, shards,
-                       sum(len(g) for _, g in indexed)))
+                       sum(len(g) for _, g in indexed), dtype))
         import hashlib as _hl
         ckpt = _Checkpoint(checkpoint_dir,
                            _hl.sha256(fp_src.encode()).hexdigest()[:16],

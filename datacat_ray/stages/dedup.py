@@ -216,22 +216,26 @@ def reap_stale_scratch(prefix: str, allowed) -> None:
     would leak a corpus-proportional dir in /tmp. Uses /proc liveness (a
     live pid's dir is never touched) and the same content guard as
     ``clear_cache_dir``: a dir holding anything unexpected is skipped, not
-    deleted."""
+    deleted. Reaps in the resolved scratch root (datacat_ray/scratch.py) —
+    reaping THIS node's dead-owner dirs is correct per-node, so the
+    node-local fallback is allowed here (``require_shared=False``)."""
     import glob
-    import tempfile
 
-    for d in glob.glob(
-        os.path.join(tempfile.gettempdir(), prefix + "*_*")
-    ):
-        pid = d.rsplit("_", 1)[-1]
-        if not pid.isdigit():
+    from datacat_ray.scratch import resolve_scratch_root
+
+    root = resolve_scratch_root(require_shared=False)
+    for d in glob.glob(os.path.join(root, prefix + "*_*")):
+        pid_s = d.rsplit("_", 1)[-1]
+        # bound-check before os.kill: an oversized numeric suffix would
+        # raise OverflowError out of the probe and crash the caller
+        if not pid_s.isdigit() or len(pid_s) > 10 or int(pid_s) <= 0:
             continue
         try:  # portable liveness probe (no procfs on macOS)
-            os.kill(int(pid), 0)
+            os.kill(int(pid_s), 0)
             continue  # alive — never touch a live run's scratch
         except ProcessLookupError:
             pass  # dead owner → reapable
-        except (PermissionError, OSError):
+        except (PermissionError, OSError, OverflowError):
             continue  # exists but not ours / unknown — leave it
         try:
             clear_cache_dir(d, allowed)
@@ -487,12 +491,11 @@ def dedup_latest_prefilter(
     if mode == "bucketed":
         if winner_dir is None:
             import hashlib
-            import tempfile
+
+            from datacat_ray.scratch import scratch_path
 
             digest = hashlib.sha1(str(path).encode()).hexdigest()[:12]
-            winner_dir = os.path.join(
-                tempfile.gettempdir(), f"datacat_winners_{digest}"
-            )
+            winner_dir = scratch_path(f"datacat_winners_{digest}")
         compute_winners_parquet(path, winner_dir, key, ts)
         return ds.map_batches(
             BucketWinnerFilter,

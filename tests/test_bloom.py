@@ -236,15 +236,22 @@ def test_incremental_dedup_saturated_bloom_skips_prefilter(
     ray_session, dup_corpus, monkeypatch
 ):
     """When even the max filter would saturate, the prefilter is skipped
-    and the plain bucketed anti-join runs — same rows, any method."""
+    and the plain bucketed anti-join runs — same rows for auto/join, while
+    explicit broadcast RAISES (its resource shape — O(candidates) driver
+    memory — is unavailable when every row is a candidate; silent reroute
+    to a full shuffle would betray the caller's method choice)."""
+    import pytest
+
     import datacat_ray.functions.bloom as B
     from datacat_ray.pipelines import dedup_ops
 
     sf, expected = dup_corpus
     monkeypatch.setattr(B, "bloom_fp", lambda n, m: 1.0)
-    for m in ("auto", "broadcast", "join"):
+    for m in ("auto", "join"):
         got = sorted(
             r["doc_id"]
             for r in dedup_ops.incremental_dedup(sf, method=m).take_all()
         )
         assert got == expected, m
+    with pytest.raises(dedup_ops.BroadcastIdSetTooLarge, match="saturated"):
+        dedup_ops.incremental_dedup(sf, method="broadcast")

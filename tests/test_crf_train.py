@@ -144,6 +144,23 @@ def test_l1_yields_sparse_model_and_still_decodes(ray_session):
         assert _viterbi(fseq, labels, w_sparse, trans) == gold
 
 
+def test_float64_mode_reachable_from_trainer_api(ray_session):
+    """dtype threads train_crf_lbfgs -> CRFShardWorker -> ShardState, so
+    the documented full-precision mode is reachable from the public API
+    (not only by constructing ShardState directly). Both precisions must
+    decode the separable corpus perfectly and agree closely on weights."""
+    seqs, labels = _toy_corpus()
+    w64, t64 = train_crf_lbfgs(seqs, labels, rho1=0.0, rho2=1e-3,
+                               max_iter=100, shards=2, dtype="float64")
+    w32, _ = train_crf_lbfgs(seqs, labels, rho1=0.0, rho2=1e-3,
+                             max_iter=100, shards=2, dtype="float32")
+    for fseq, gold in seqs:
+        assert _viterbi(fseq, labels, w64, t64) == gold
+    for lab in w32:
+        for feat, v in w32[lab].items():
+            assert abs(v - w64[lab].get(feat, 0.0)) < 1e-2
+
+
 def test_determinism(ray_session):
     seqs, labels = _toy_corpus()
     a = train_crf_lbfgs(seqs, labels, rho1=0.1, max_iter=40, shards=2)

@@ -97,3 +97,32 @@ def test_ivf_nprobe_auto_selection_contract(ray_session, tmp_path):
     auto = S.ivf_topk(sf, qids[0], 10, index_dir=idx, nprobe="auto")
     fixed = S.ivf_topk(sf, qids[0], 10, index_dir=idx, nprobe=p)
     assert auto.equals(fixed)
+
+
+def test_nprobe_cache_merges_concurrent_keys(ray_session, tmp_path):
+    """The nprobe.json update re-reads before writing, so a selection
+    under a second key keeps entries another process wrote between this
+    process's read and its write (no last-writer-wins entry loss)."""
+    import json
+    import os
+
+    from datacat_ray.pipelines import similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "ivf_merge")
+    S.select_nprobe(sf, target_recall=0.8, k=10, n_queries=8, index_dir=idx)
+    cache = os.path.join(idx, "nprobe.json")
+    # simulate a concurrent process landing a foreign entry after our
+    # initial read would have happened
+    with open(cache) as fh:
+        d = json.load(fh)
+    d["k=99,q=1,t=0.5"] = [1, 0.5]
+    with open(cache, "w") as fh:
+        json.dump(d, fh)
+    # a selection under a NEW key must merge, not clobber
+    S.select_nprobe(sf, target_recall=0.9, k=10, n_queries=8, index_dir=idx)
+    with open(cache) as fh:
+        final = json.load(fh)
+    assert "k=99,q=1,t=0.5" in final
+    assert "k=10,q=8,t=0.8" in final
+    assert "k=10,q=8,t=0.9" in final
