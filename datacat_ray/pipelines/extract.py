@@ -50,6 +50,14 @@ from datacat_ray.stages.tei import (
 )
 
 
+from datacat_ray.stages.token_features import (
+    _TOKEN_FIELD_NAMES as _BODY_FIELD_NAMES,
+    featurize_body_tokens,
+)
+from datacat_ray.stages.tokenizer import tokenize_document, tokenize_stage
+from datacat_ray.stages.zones import ZONE_STRUCT, decode_zones, zone_token_indices
+
+
 def unwrapped_text(lines: list[dict]) -> str:
     """Reconstruct the pre-wrap block text: lines of one block joined by the
     space the wrap consumed (``wrap_text`` semantics), blocks joined by
@@ -65,12 +73,6 @@ def unwrapped_text(lines: list[dict]) -> str:
         else:
             parts[-1] = parts[-1] + " " + ln["text"]
     return "\n".join(parts)
-from datacat_ray.stages.token_features import (
-    _TOKEN_FIELD_NAMES as _BODY_FIELD_NAMES,
-    featurize_body_tokens,
-)
-from datacat_ray.stages.tokenizer import tokenize_document, tokenize_stage
-from datacat_ray.stages.zones import ZONE_STRUCT, decode_zones, zone_token_indices
 
 SEGMENTED_SCHEMA_EXTRA = [
     pa.field("line_labels", pa.list_(pa.string())),

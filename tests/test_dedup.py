@@ -388,3 +388,70 @@ def test_neardup_clusters_components(ray_session, tmp_path):
     assert all(cl[i] == 0 for i in range(4))
     assert all(cl[i] == 4 for i in range(4, 7))
     assert all(cl[i] == i for i in range(7, 12))
+
+
+def test_skew_kill_bucketed_kernels(ray_session, tmp_path):
+    """Adversarial skew kill-test (the reference's own guard motivation —
+    DatacatSegmenterParser.java:140-142, 260-263: single pathological
+    inputs must not ruin throughput): one url holds 40% of all captures
+    INCLUDING the multi-MB html rows; one user holds 40% of all events.
+    The balanced twin has identical row count and byte size, so the only
+    difference is key distribution.
+
+    The bucketed designs bound hot-key work structurally (in-batch
+    pre-dedup caps shuffle rows at <=1 per block per key; the session
+    walk is O(rows) per bucket regardless of key multiplicity; the winner
+    filter probes sorted arrays), so skewed wall-time must stay within a
+    small factor of balanced. Kill threshold 3x — looser than the ~2x
+    design bar (scripts/skew_probe.py measures that in a controlled
+    window for BASELINE.md) to absorb sandbox timing noise, but any real
+    pathology (per-key Python loop, one-task serialization of the hot
+    key) reads 10x+ here. Paired rounds; min ratio across rounds (a
+    pathology is slow in EVERY round, noise isn't)."""
+    import os
+    import sys
+    import time
+
+    import ray.data
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "scripts")
+    )
+    from skew_probe import CAPS_PER_URL, HOT_FRAC, write_captures, write_events
+
+    from datacat_ray.pipelines.relational import user_sessions
+    from datacat_ray.stages.dedup import dedup_latest
+
+    n_caps, n_evts = 24_000, 40_000
+    dirs = {}
+    for kind, skewed in (("bal", False), ("skew", True)):
+        cdir = str(tmp_path / f"caps_{kind}")
+        edir = str(tmp_path / f"evts_{kind}")
+        write_captures(cdir, n_caps, skewed, n_big=2, big_mb=2)
+        write_events(os.path.join(edir, "events.parquet"), n_evts, skewed)
+        dirs[kind] = (cdir, edir)
+
+    def run_dedup(kind):
+        return dedup_latest(
+            ray.data.read_parquet(dirs[kind][0]), key="url", ts="warc_ts"
+        ).count()
+
+    def run_sessions(kind):
+        return user_sessions(dirs[kind][1]).count()
+
+    # correctness under skew: exact distinct-key counts
+    n_hot = int(n_caps * HOT_FRAC)
+    assert run_dedup("skew") == 1 + (n_caps - n_hot) // CAPS_PER_URL
+    assert run_dedup("bal") == n_caps // CAPS_PER_URL
+
+    for name, fn in (("dedup_latest", run_dedup),
+                     ("user_sessions", run_sessions)):
+        ratios = []
+        for _ in range(2):
+            pair = {}
+            for kind in ("bal", "skew"):
+                t0 = time.perf_counter()
+                fn(kind)
+                pair[kind] = time.perf_counter() - t0
+            ratios.append(pair["skew"] / pair["bal"])
+        assert min(ratios) < 3.0, (name, ratios)
