@@ -613,24 +613,33 @@ def _bucket_cands(group: pa.Table) -> pa.Table:
 
 def _est_jaccard_batch(batch: pa.Table, threshold: float) -> pa.Table:
     """(doc_a, doc_b, sig_a, sig_b) → signature-estimated Jaccard ≥
-    threshold, fully vectorized (one stacked equality over all pairs)."""
+    threshold, fully vectorized (one stacked equality over all pairs).
+    ``match_lanes`` is the integer count of agreeing signature lanes
+    (``est_jaccard`` × N_PERM) — the exact-integer surface the SQL oracle
+    compares on (a float column would drag round-half-to-even divergence
+    into the value hash)."""
     if batch.num_rows == 0:
         return pa.Table.from_pydict(
             {"doc_a": pa.array([], pa.int64()),
              "doc_b": pa.array([], pa.int64()),
-             "est_jaccard": pa.array([], pa.float64())}
+             "est_jaccard": pa.array([], pa.float64()),
+             "match_lanes": pa.array([], pa.int64())}
         )
     a = np.vstack([np.frombuffer(x, dtype="<u8")
                    for x in batch["sig_a"].to_pylist()])
     b = np.vstack([np.frombuffer(x, dtype="<u8")
                    for x in batch["sig_b"].to_pylist()])
-    jac = (a == b).mean(axis=1)
+    eq = a == b
+    jac = eq.mean(axis=1)
     keep = jac >= threshold
     return pa.Table.from_pydict(
         {
             "doc_a": pc.take(batch["doc_a"], pa.array(np.flatnonzero(keep))),
             "doc_b": pc.take(batch["doc_b"], pa.array(np.flatnonzero(keep))),
             "est_jaccard": pa.array(np.round(jac[keep], 6), type=pa.float64()),
+            "match_lanes": pa.array(
+                eq.sum(axis=1)[keep].astype(np.int64), type=pa.int64()
+            ),
         }
     )
 
@@ -839,6 +848,113 @@ def minhash_candidate_pairs(
         return _est_jaccard_batch(t, threshold)
 
     return cands.map_batches(_verify, batch_format="pyarrow")
+
+
+def minhash_pairs_query(
+    sf_dir: str, threshold: float = 0.7
+) -> "ray.data.Dataset":
+    """Driver-registry surface of ``minhash_candidate_pairs``: the
+    all-integer (doc_a, doc_b, match_lanes) projection the SQL oracle
+    replays exactly (``est_jaccard`` is match_lanes / N_PERM — a float
+    whose round-half-to-even formatting is oracle-hostile, so it stays an
+    internal column)."""
+    return minhash_candidate_pairs(sf_dir, threshold).select_columns(
+        ["doc_a", "doc_b", "match_lanes"]
+    )
+
+
+def minhash_pairs_sql(threshold: float = 0.7) -> str:
+    """Full DuckDB replay of the MinHash-LSH candidate pipeline — every
+    stage bit-exact against the Ray side, because all the arithmetic is
+    deterministic public constants:
+
+    * normalize (lower + whitespace-collapse, '_'-pad under k chars) and
+      hash each k-char shingle with the same base-``_POLY_B`` Horner
+      polynomial mod 2^64 (``char_shingles``; chars == bytes on the ASCII
+      driver corpus — the one caveat, same as ``ngram_jaccard_sql``),
+    * the 128 ``(a·x + b)`` permutations with numpy's uint64 WRAP
+      semantics (mod 2^64 after the multiply and the add, then mod
+      2^61−1), constants embedded from the fixed-seed arrays,
+    * LSH bands grouped by the literal 8-value tuple (the Ray side folds
+      the tuple through FNV only to NAME the bucket; membership is tuple
+      equality on both sides, so the fold never needs replaying),
+    * the ``MAX_BUCKET`` star-cap and pair-dedup,
+    * lane-match verify: ``match_lanes ≥`` the smallest integer whose
+      /128 ratio clears the float threshold (computed here with the same
+      float compare numpy uses).
+    """
+    thr_lanes = next(
+        k for k in range(N_PERM + 1) if k / N_PERM >= threshold
+    )
+    w = 1 << 64
+    horner = "0"
+    for i in range(1, SHINGLE_K + 1):
+        horner = (
+            f"(({horner}) * {int(_POLY_B)}"
+            f" + ascii(substr(g, {i}, 1))) % {w}"
+        )
+    perm_rows = ",".join(
+        f"({j},{int(a)},{int(b)})"
+        for j, (a, b) in enumerate(zip(_MH_A.tolist(), _MH_B.tolist()))
+    )
+    p = int(_MERSENNE)
+    return rf"""
+        WITH norm AS (
+            SELECT doc_id,
+                   coalesce(lower(list_aggregate(list_filter(
+                       regexp_split_to_array(coalesce(text, ''), '\s+'),
+                       x -> x <> ''), 'string_agg', ' ')), '') AS s
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, {horner} AS h
+            FROM (SELECT doc_id,
+                         substr(s || repeat('_', {SHINGLE_K}),
+                                CAST(i AS INT), {SHINGLE_K}) AS g
+                  FROM (SELECT doc_id, s,
+                               unnest(range(1, greatest(
+                                   len(s) - {SHINGLE_K - 1}, 1) + 1)) AS i
+                        FROM norm))
+        ), perms(j, a, b) AS (VALUES {perm_rows}),
+        sig AS (
+            SELECT sh.doc_id, perms.j,
+                   MIN(((CAST(perms.a AS HUGEINT) * (h % {p})) % {w}
+                        + perms.b) % {w} % {p}) AS v
+            FROM sh, perms
+            GROUP BY sh.doc_id, perms.j
+        ),
+        bands AS (
+            SELECT doc_id,
+                   CAST(j // {ROWS_PER_BAND} AS VARCHAR) || ':' ||
+                       string_agg(CAST(v AS VARCHAR), ',' ORDER BY j) AS bk
+            FROM sig GROUP BY doc_id, j // {ROWS_PER_BAND}
+        ),
+        sized AS (
+            SELECT bk, COUNT(*) AS n, MIN(doc_id) AS rep
+            FROM bands GROUP BY bk
+        ),
+        cand AS (
+            SELECT DISTINCT doc_a, doc_b FROM (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a
+                JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+                JOIN sized s ON s.bk = a.bk
+                WHERE s.n <= {MAX_BUCKET}
+                UNION ALL
+                SELECT s.rep AS doc_a, c.doc_id AS doc_b
+                FROM sized s
+                JOIN bands c ON c.bk = s.bk AND c.doc_id > s.rep
+                WHERE s.n > {MAX_BUCKET}
+            )
+        )
+        SELECT c.doc_a, c.doc_b,
+               CAST(SUM(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS BIGINT)
+                   AS match_lanes
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.doc_a
+        JOIN sig sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
+        GROUP BY c.doc_a, c.doc_b
+        HAVING SUM(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) >= {thr_lanes}
+    """
 
 
 # -- distributed connected components (iterative min-label propagation) ----
@@ -1304,14 +1420,39 @@ def _gram_list(text: str) -> list[str]:
     return [" ".join(words)] if words else [""]
 
 
-def _gram_hashes(grams: list[str]) -> np.ndarray:
-    """Vectorized uint64 gram hashes (ONE polars call — the per-gram
-    Python FNV byte-loop it replaces dominated signature time). Hash
-    values feed the bit votes; SimHash's locality property holds for any
-    uniform 64-bit hash."""
-    import polars as pl
+_GRAM_HASH_MAXLEN = 64  # bytes hashed per gram; both sides truncate here
 
-    return pl.Series(grams).hash(seed=20260817).to_numpy().astype(np.uint64)
+
+def _gram_hashes(grams: list[str]) -> np.ndarray:
+    """Vectorized uint64 gram hashes: the same shifted-add polynomial as
+    ``char_shingles`` (base ``_POLY_B``, mod 2^64) over each gram's first
+    ``_GRAM_HASH_MAXLEN`` UTF-8 bytes — deterministic, public, and
+    SQL-replayable (``simhash_pairs_sql`` replays it term-by-term with a
+    B^e-mod-2^64 power table), unlike the polars/ahash call it replaces.
+    Vectorized as ≤ max-gram-len masked Horner steps over the whole batch
+    (never a Python loop per gram). Hash values feed the bit votes;
+    SimHash's locality property holds for any injective-enough 64-bit mix,
+    and word trigrams are long enough (≥ 3 bytes wraps the base past
+    2^64) that the high bits are live."""
+    n = len(grams)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    bs = [g.encode("utf-8")[:_GRAM_HASH_MAXLEN] for g in grams]
+    lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=n)
+    m = int(lens.max())
+    h = np.zeros(n, dtype=np.uint64)
+    if m == 0:
+        return h
+    mat = np.zeros((n, m), dtype=np.uint64)
+    flat = np.frombuffer(b"".join(bs), dtype=np.uint8)
+    rows = np.repeat(np.arange(n), lens)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    cols = np.arange(len(flat)) - np.repeat(starts, lens)
+    mat[rows, cols] = flat
+    for i in range(m):  # ≤ 64 whole-array Horner steps
+        step = h * _POLY_B + mat[:, i]
+        h = np.where(lens > i, step, h)
+    return h
 
 
 def simhash64(text: str) -> int:
@@ -1434,6 +1575,113 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> "ray.data.Dataset":
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(
         _Min("hamming", alias_name="hamming")
     )
+
+
+def simhash_pairs_sql(max_hamming: int = 3) -> str:
+    """Full DuckDB replay of the SimHash pipeline, bit-exact against
+    ``simhash_pairs`` (ASCII caveat as in ``minhash_pairs_sql``):
+
+    * word trigrams with MULTIPLICITY (position-indexed unnest — the bit
+      votes weight repeated grams, so DISTINCT would diverge),
+    * the gram polynomial hash as a power-table sum: Horner mod 2^64
+      ≡ Σ byte_j · B^(L−j) mod 2^64 (each term reduced before the ≤64-term
+      sum, so everything fits HUGEINT),
+    * per-bit ±1 votes → the 64-bit SimHash (unsigned sum shifted into the
+      int64 carrier exactly as the numpy view does),
+    * the 4 × 16-bit banding with the same (band << 16) | bits bucket key,
+      the ``MAX_BUCKET`` star-cap, XOR/bit_count Hamming (two's-complement
+      BIGINT has the same bit pattern as the uint64 pair), and the
+      min-per-pair fold.
+    """
+    w = 1 << 64
+    maxl = _GRAM_HASH_MAXLEN
+    pow_b = ",".join(
+        f"({e},{pow(int(_POLY_B), e, w)})" for e in range(maxl)
+    )
+    pow_2 = ",".join(f"({b},{1 << b})" for b in range(64))
+    shift_rows = ",".join(f"({b},{1 << (16 * b)})" for b in range(4))
+    return rf"""
+        WITH words AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(
+                       lower(coalesce(text, '')), '\s+'),
+                       x -> x <> '') AS w
+            FROM documents
+        ), gl AS (
+            SELECT doc_id,
+                   CASE WHEN len(w) >= 3 THEN
+                       list_transform(range(1, len(w) - 1),
+                           i -> w[CAST(i AS INT)] || ' ' ||
+                                w[CAST(i + 1 AS INT)] || ' ' ||
+                                w[CAST(i + 2 AS INT)])
+                   WHEN len(w) >= 1 THEN [array_to_string(w, ' ')]
+                   ELSE [''] END AS gs
+            FROM words
+        ), g AS (
+            SELECT doc_id, CAST(i AS INT) AS gi, gs[CAST(i AS INT)] AS gram
+            FROM (SELECT doc_id, gs, unnest(range(1, len(gs) + 1)) AS i
+                  FROM gl)
+        ), pow_b(e, p) AS (VALUES {pow_b}),
+        pow_2(b, p2) AS (VALUES {pow_2}),
+        shifts(band, sh) AS (VALUES {shift_rows}),
+        gh AS (
+            SELECT g.doc_id, g.gi, coalesce(s.h, 0) AS h
+            FROM g LEFT JOIN (
+                SELECT doc_id, gi,
+                       SUM((ascii(substr(gram, CAST(j AS INT), 1))
+                            * CAST(pb.p AS HUGEINT)) % {w}) % {w} AS h
+                FROM (SELECT doc_id, gi, gram, l,
+                             unnest(range(1, l + 1)) AS j
+                      FROM (SELECT doc_id, gi, gram,
+                                   least(len(gram), {maxl}) AS l
+                            FROM g))
+                JOIN pow_b pb ON pb.e = l - j
+                GROUP BY doc_id, gi
+            ) s USING (doc_id, gi)
+        ),
+        votes AS (
+            SELECT doc_id, pow_2.b,
+                   SUM(CASE WHEN (h // pow_2.p2) % 2 = 1
+                            THEN 1 ELSE -1 END) AS v
+            FROM gh CROSS JOIN pow_2
+            GROUP BY doc_id, pow_2.b
+        ),
+        sims AS (
+            SELECT doc_id,
+                   SUM(CASE WHEN v > 0 THEN pow_2.p2 ELSE 0 END) AS u
+            FROM votes JOIN pow_2 USING (b)
+            GROUP BY doc_id
+        ),
+        bandrows AS (
+            SELECT doc_id,
+                   CAST(u - 9223372036854775808 AS BIGINT) AS simhash,
+                   band * 65536 + CAST((u // sh) % 65536 AS BIGINT)
+                       AS bucket
+            FROM sims CROSS JOIN shifts
+        ),
+        sized AS (
+            SELECT bucket, COUNT(*) AS n, MIN(doc_id) AS rep
+            FROM bandrows GROUP BY bucket
+        ),
+        rawpairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   bit_count(xor(a.simhash, b.simhash)) AS hamming
+            FROM bandrows a
+            JOIN bandrows b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+            JOIN sized s ON s.bucket = a.bucket
+            WHERE s.n <= {MAX_BUCKET}
+            UNION ALL
+            SELECT s.rep, c.doc_id, bit_count(xor(r.simhash, c.simhash))
+            FROM sized s
+            JOIN bandrows c ON c.bucket = s.bucket AND c.doc_id > s.rep
+            JOIN bandrows r ON r.bucket = s.bucket AND r.doc_id = s.rep
+            WHERE s.n > {MAX_BUCKET}
+        )
+        SELECT doc_a, doc_b, CAST(MIN(hamming) AS BIGINT) AS hamming
+        FROM rawpairs
+        WHERE hamming <= {max_hamming}
+        GROUP BY doc_a, doc_b
+    """
 
 
 # ---------------------------------------------------------------------------

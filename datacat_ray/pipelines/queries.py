@@ -35,11 +35,13 @@ from datacat_ray.pipelines.dedup_ops import (
     embedding_neardup_pairs,
     exact_dedup,
     latest_events,
-    minhash_candidate_pairs,
+    minhash_pairs_query,
+    minhash_pairs_sql,
     neardup_clusters,
     ngram_jaccard_pairs,
     ngram_jaccard_sql,
     simhash_pairs,
+    simhash_pairs_sql,
 )
 from datacat_ray.pipelines.extract import build_extract_pipeline
 from datacat_ray.pipelines.multimodal import (
@@ -283,16 +285,19 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "error_purchase_days": error_purchase_days,
         "rolling_user_revenue": rolling_user_revenue,
         "order_lineitem_join": order_lineitem_join,
-        "top_orders_by_segment": top_orders_by_segment,
         # dedup family (D1 + training-data ops)
         "latest_events": latest_events,
         "exact_dedup": exact_dedup,
         "duplicate_clusters": duplicate_clusters,
         "paragraph_dedup": paragraph_dedup,
         "ngram_jaccard_pairs": lambda sf: ngram_jaccard_pairs(sf, threshold=0.6),
+        # LSH sketch pairs — the SQL replays the full signature arithmetic
+        # (deterministic constants + wrap-mod semantics), so these are
+        # hash-checked, not rows-only (VERDICT r4 #3)
+        "minhash_pairs": lambda sf: minhash_pairs_query(sf, threshold=0.7),
+        "simhash_pairs": lambda sf: simhash_pairs(sf, max_hamming=3),
         # similarity search
         "knn_brute_force": lambda sf: brute_force_topk(sf, query_vec_id=0, k=10),
-        "knn_multi_query": lambda sf: multi_query_topk(sf, (0, 1, 2, 3), k=5),
         "label_centroids": label_centroids,
         # text analysis
         "token_counts": token_counts,
@@ -326,8 +331,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "features_debug": features_debug,
         "approx_distinct_users": approx_distinct_users,
         "approx_users_per_type": approx_users_per_type,
-        "minhash_pairs": lambda sf: minhash_candidate_pairs(sf, threshold=0.7),
-        "simhash_pairs": lambda sf: simhash_pairs(sf, max_hamming=3),
+        "knn_multi_query": lambda sf: multi_query_topk(sf, (0, 1, 2, 3), k=5),
+        "top_orders_by_segment": top_orders_by_segment,
         "neardup_clusters": lambda sf: neardup_clusters(sf, threshold=0.7),
         "embedding_neardup": lambda sf: embedding_neardup_pairs(sf, threshold=0.45),
         "knn_ivf": lambda sf: ivf_topk(sf, query_vec_id=0, k=10),
@@ -356,6 +361,20 @@ FILTER_PROJECT_SQL = """
 """
 
 DISTINCT_EVENT_TYPES_SQL = "SELECT DISTINCT event_type FROM events"
+
+KNN_MULTI_QUERY_SQL = """
+    SELECT query_vec_id, vec_id, rank FROM (
+        SELECT q.vec_id AS query_vec_id, e.vec_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(
+                       e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                   e.vec_id ASC) AS rank
+        FROM embeddings e
+        JOIN embeddings q ON q.vec_id IN (0, 1, 2, 3)
+        WHERE e.vec_id <> q.vec_id
+    ) WHERE rank <= 5
+"""
 
 DOCS_BY_LANG_SQL = """
     SELECT lang,
@@ -419,7 +438,6 @@ def build_oracle_sql() -> dict[str, str]:
         "error_purchase_days": ERROR_PURCHASE_DAYS_SQL,
         "rolling_user_revenue": ROLLING_USER_REVENUE_SQL,
         "order_lineitem_join": ORDER_LINEITEM_JOIN_SQL,
-        "top_orders_by_segment": top_orders_by_segment_sql(),
         "latest_events": """
             SELECT event_id, ts, user_id, event_type, value, props
             FROM events
@@ -432,6 +450,11 @@ def build_oracle_sql() -> dict[str, str]:
         "duplicate_clusters": DUPLICATE_CLUSTERS_SQL,
         "paragraph_dedup": PARAGRAPH_DEDUP_SQL,
         "ngram_jaccard_pairs": ngram_jaccard_sql(threshold=0.6),
+        # full LSH replays: deterministic constants + wrap-mod arithmetic
+        # re-derived in SQL (see the builders' docstrings for the replay
+        # contract and the ASCII caveat)
+        "minhash_pairs": minhash_pairs_sql(threshold=0.7),
+        "simhash_pairs": simhash_pairs_sql(max_hamming=3),
         # cosine top-k: both sides compute in float64 (embedding cast to
         # DOUBLE[]); rank ties broken by vec_id ascending on both sides
         "knn_brute_force": """
@@ -445,19 +468,6 @@ def build_oracle_sql() -> dict[str, str]:
                      (SELECT embedding FROM embeddings WHERE vec_id = 0) q
                 WHERE e.vec_id <> 0
             ) WHERE rank <= 10
-        """,
-        "knn_multi_query": """
-            SELECT query_vec_id, vec_id, rank FROM (
-                SELECT q.vec_id AS query_vec_id, e.vec_id,
-                       row_number() OVER (
-                           PARTITION BY q.vec_id
-                           ORDER BY list_cosine_similarity(
-                               e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
-                           e.vec_id ASC) AS rank
-                FROM embeddings e
-                JOIN embeddings q ON q.vec_id IN (0, 1, 2, 3)
-                WHERE e.vec_id <> q.vec_id
-            ) WHERE rank <= 5
         """,
         "label_centroids": LABEL_CENTROIDS_SQL,
         "token_counts": TOKEN_COUNTS_SQL,
@@ -486,15 +496,16 @@ def build_oracle_sql() -> dict[str, str]:
         # no oracle (non-SQL-expressible; driver records rows-only):
         #   extract_flagship (cascade; its byte-identity slice IS oracled via
         #   extract_text_identity), features_debug (33-field featurizer,
-        #   golden-tested), minhash/simhash/embedding pairs (LSH banding --
-        #   the signature arithmetic is out of SQL reach; the exact-verify
-        #   slice IS oracled via ngram_jaccard_pairs),
+        #   golden-tested), embedding_neardup (float cosine banding),
         #   neardup_clusters (components over the LSH pair graph),
         #   knn_ivf (approximate), kmeans_clusters (iterative Lloyd's --
         #   deterministic, pinned to a numpy reference in tests),
         #   approx_distinct_users / approx_users_per_type (sketches),
         #   image_metadata / audio_frames / video_frames (binary decode
-        #   pipelines, unit-golden-tested)
+        #   pipelines, unit-golden-tested), knn_multi_query /
+        #   top_orders_by_segment (SQL-expressible but past the slot-50
+        #   budget since minhash/simhash took their slots -- oracle parity
+        #   pinned via build_retired_oracles)
     }
 
 
@@ -508,6 +519,12 @@ def build_retired_oracles() -> dict[str, tuple[Callable[[str], Any], str]]:
     correctness coverage."""
     return {
         "incremental_dedup": (incremental_dedup, INCREMENTAL_DEDUP_SQL),
+        "knn_multi_query": (
+            lambda sf: multi_query_topk(sf, (0, 1, 2, 3), k=5),
+            KNN_MULTI_QUERY_SQL,
+        ),
+        "top_orders_by_segment": (top_orders_by_segment,
+                                  top_orders_by_segment_sql()),
         "filter_project": (filter_project, FILTER_PROJECT_SQL),
         "distinct_event_types": (distinct_event_types,
                                  DISTINCT_EVENT_TYPES_SQL),

@@ -455,3 +455,65 @@ def test_skew_kill_bucketed_kernels(ray_session, tmp_path):
                 pair[kind] = time.perf_counter() - t0
             ratios.append(pair["skew"] / pair["bal"])
         assert min(ratios) < 3.0, (name, ratios)
+
+
+def test_lsh_sql_oracles_bit_exact(ray_session):
+    """The minhash/simhash SQL oracles replay the FULL signature
+    arithmetic (Horner shingle hash mod 2^64, wrap-mod permutations,
+    banding, star-cap, verify) — pinned bit-exact against the Ray
+    pipelines at sf0.001 so a kernel or constant drift on either side
+    fails CI, not the driver run (VERDICT r4 #3)."""
+    import duckdb
+
+    from datacat_ray.pipelines.dedup_ops import (
+        minhash_pairs_query,
+        minhash_pairs_sql,
+        simhash_pairs,
+        simhash_pairs_sql,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+
+    def canon(df):
+        df = df[sorted(df.columns)].astype("int64")
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    mh_ray = canon(minhash_pairs_query(sf, threshold=0.7).to_pandas())
+    mh_sql = canon(con.sql(minhash_pairs_sql(threshold=0.7)).df())
+    assert len(mh_ray) > 0
+    assert mh_ray.equals(mh_sql)
+
+    sh_ray = canon(simhash_pairs(sf, max_hamming=3).to_pandas())
+    sh_sql = canon(con.sql(simhash_pairs_sql(max_hamming=3)).df())
+    assert len(sh_ray) > 0
+    assert sh_ray.equals(sh_sql)
+
+
+def test_gram_hashes_polynomial():
+    """_gram_hashes == per-gram Horner over UTF-8 bytes mod 2^64,
+    truncated at _GRAM_HASH_MAXLEN; empty gram hashes to 0; ragged
+    batches don't cross-contaminate."""
+    import numpy as np
+
+    from datacat_ray.pipelines.dedup_ops import (
+        _GRAM_HASH_MAXLEN,
+        _POLY_B,
+        _gram_hashes,
+    )
+
+    def ref(g: str) -> int:
+        h = 0
+        for c in g.encode("utf-8")[:_GRAM_HASH_MAXLEN]:
+            h = (h * int(_POLY_B) + c) % (1 << 64)
+        return h
+
+    grams = ["", "a", "the quick fox", "x" * 200, "word one two", "été gram"]
+    got = _gram_hashes(grams)
+    assert got.dtype == np.uint64
+    assert got.tolist() == [ref(g) for g in grams]
+    assert _gram_hashes([]).shape == (0,)
