@@ -70,6 +70,7 @@ def cmd_extract(args) -> int:
 
         warc_cfg = PipelineConfig()
         warc_cfg.tei_coordinates = args.tei_coordinates
+        warc_cfg.segment_sentences = args.segment_sentences
         warc_cfg.model_paths = {
             k: v for k, v in (
                 ("segmenter", args.segmenter_model), ("body", args.body_model)
@@ -96,6 +97,7 @@ def cmd_extract(args) -> int:
         fragments_per_part=args.fragments_per_part,
         dedup=not args.no_dedup,
         tei_coordinates=args.tei_coordinates,
+        segment_sentences=args.segment_sentences,
         model_paths={
             k: v for k, v in (
                 ("segmenter", args.segmenter_model), ("body", args.body_model)
@@ -253,6 +255,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="annotate TEI zone/entry elements with char-span "
                         "coords into the extracted text (the web analogue "
                         "of the reference's -teiCoordinates)")
+    p.add_argument("--segment-sentences", action="store_true",
+                   help="wrap sentences inside body entry TEI in <s> "
+                        "elements (deterministic rule splitter; the "
+                        "analogue of the reference's -segmentSentences "
+                        "flag, which its module parses but never consumes)")
     p.add_argument("--segmenter-model", default=None,
                    help="trained segmenter artifact JSON (from `train`) "
                         "to use instead of the frozen model")

@@ -63,6 +63,11 @@ class PipelineConfig:
     # so zone/entry TEI elements carry char-span coords="start,end" into
     # the byte-identity extracted text instead
     tei_coordinates: bool = False
+    # -segmentSentences analogue (GrobidDatacatMain.java:123,192-193 —
+    # parsed upstream but consumed by no reference parser): optional <s>
+    # sentence elements inside body entry TEI, off by default so golden
+    # bytes are unchanged
+    segment_sentences: bool = False
     # trained model artifacts (cli train JSON) replacing the frozen models:
     # {"segmenter": path, "body": path} — the deploy leg of the
     # model-improvement loop

@@ -134,6 +134,7 @@ class FusedExtractStage:
         end_page: int = -1,
         tei_coordinates: bool = False,
         model_paths: dict | None = None,
+        segment_sentences: bool = False,
     ) -> None:
         # ``model_paths`` swaps frozen models for trained artifacts (the
         # "deploy" leg of the model-improvement loop): keys "segmenter" /
@@ -165,6 +166,8 @@ class FusedExtractStage:
         # -teiCoordinates analogue (GrobidDatacatMainArgs.java): zone/entry
         # elements carry char-span coords into the extracted text
         self.tei_coordinates = tei_coordinates
+        # -segmentSentences analogue: <s> sentence level in body TEI
+        self.segment_sentences = segment_sentences
 
     def _lexical_spans(self, tokens: list[str], entries: list[dict]) -> list[dict]:
         """Third cascade level: label the tokens of each ``<entry>`` run
@@ -221,7 +224,8 @@ class FusedExtractStage:
             extracted_text(tokens),
             unwrapped_text(lines),
             assemble_segmenter_tei(url, lang, lines, line_labels, seg_coords),
-            assemble_body_tei(url, lang, tokens, entries, body_coords),
+            assemble_body_tei(url, lang, tokens, entries, body_coords,
+                              self.segment_sentences),
             zones,
             entries,
             lexical,
@@ -356,6 +360,7 @@ def _fused_task(
     end_page: int = -1,
     tei_coordinates: bool = False,
     model_paths: tuple = (),
+    segment_sentences: bool = False,
 ) -> pa.Table:
     """Task-mode wrapper around ``FusedExtractStage`` with a per-WORKER-
     PROCESS stage cache: the decoders compile once per worker (Ray reuses
@@ -369,13 +374,13 @@ def _fused_task(
     is expensive — multi-GB model weights, a remote connection — which is
     exactly what ``FusedExtractStage.__init__`` models."""
     key = (max_tokens, max_blocks, start_page, end_page, tei_coordinates,
-           model_paths)
+           model_paths, segment_sentences)
     st = _TASK_STAGE_CACHE.get(key)
     if st is None:
         _TASK_STAGE_CACHE.clear()
         st = _TASK_STAGE_CACHE[key] = FusedExtractStage(
             max_tokens, max_blocks, start_page, end_page, tei_coordinates,
-            dict(model_paths),
+            dict(model_paths), segment_sentences,
         )
     return st(batch)
 
@@ -404,6 +409,7 @@ def build_extract_pipeline(
                 "start_page": cfg.start_page, "end_page": cfg.end_page,
                 "tei_coordinates": cfg.tei_coordinates,
                 "model_paths": cfg.model_paths,
+                "segment_sentences": cfg.segment_sentences,
             },
             batch_format="pyarrow",
             batch_size=cfg.segmenter.batch_size,
@@ -418,6 +424,7 @@ def build_extract_pipeline(
             start_page=cfg.start_page, end_page=cfg.end_page,
             tei_coordinates=cfg.tei_coordinates,
             model_paths=tuple(sorted((cfg.model_paths or {}).items())),
+            segment_sentences=cfg.segment_sentences,
         ),
         batch_format="pyarrow",
         batch_size=cfg.segmenter.batch_size,

@@ -211,18 +211,91 @@ def parse_reference_body_tei(text: str) -> list[tuple[str, str]]:
     return out
 
 
+_SENT_END = frozenset({".", "!", "?"})
+_SENT_CLOSE = frozenset({'"', "'", ")", "]", "”", "’"})
+
+
+def split_sentence_spans(
+    tokens: list[str], start: int, end: int
+) -> list[tuple[int, int]]:
+    """Deterministic rule sentence splitter over the layout token stream
+    (the ``-segmentSentences`` analogue — ``GrobidDatacatMain.java:123,
+    192-193`` parses the flag into the args bean; no reference parser
+    consumes it, so this optional ``<s>`` level closes even the nominal
+    gap). Rule: a sentence closes at a ``. ! ?`` token (plus any
+    immediately following closing quotes/brackets) when the previous
+    non-space token is not a single uppercase letter (initials: ``J.``)
+    and the next non-space token starts with an uppercase letter or a
+    digit (or the run ends). Pure token arithmetic — no model, no locale
+    tables — so the split is reproducible anywhere. Returns [start, end)
+    sub-spans covering each sentence; inter-sentence whitespace/newline
+    tokens fall OUTSIDE the spans (rendered between ``<s>`` elements, so
+    the entry's token concatenation is unchanged)."""
+
+    def is_ws(t: str) -> bool:
+        return t.strip() == ""
+
+    spans: list[tuple[int, int]] = []
+    i = start
+    while i < end:
+        while i < end and is_ws(tokens[i]):
+            i += 1
+        if i >= end:
+            break
+        s = i
+        bend = None
+        j = i
+        while j < end:
+            if tokens[j] in _SENT_END:
+                k = j + 1
+                while k < end and tokens[k] in _SENT_CLOSE:
+                    k += 1
+                pj = j - 1
+                while pj >= s and is_ws(tokens[pj]):
+                    pj -= 1
+                prev = tokens[pj] if pj >= s else None
+                is_initial = (
+                    tokens[j] == "."
+                    and prev is not None
+                    and len(prev) == 1
+                    and prev.isupper()
+                )
+                nk = k
+                while nk < end and is_ws(tokens[nk]):
+                    nk += 1
+                nxt = tokens[nk] if nk < end else None
+                if not is_initial and (
+                    nxt is None or nxt[:1].isupper() or nxt[:1].isdigit()
+                ):
+                    bend = k
+                    break
+            j += 1
+        if bend is None:
+            bend = end
+            while bend > s and is_ws(tokens[bend - 1]):
+                bend -= 1
+        spans.append((s, bend))
+        i = bend
+    return spans
+
+
 def assemble_body_tei(
     url: str,
     lang: str | None,
     tokens: list[str],
     entries: list[dict],
     coords: list[tuple[int, int]] | None = None,
+    segment_sentences: bool = False,
 ) -> str:
     """Entry-tagged TEI over the body token stream. Content between a run's
     first and last labeled token is re-read from the original tokenization
     (whitespace re-insertion, J2); newline tokens render as ``<lb/>``.
     ``coords`` (optional, one per entry run) adds char-span coordinate
-    attributes; see ``_coords_attr``."""
+    attributes; see ``_coords_attr``. ``segment_sentences`` (off by
+    default — golden bytes unchanged) wraps each sentence inside every
+    entry element in ``<s>…</s>`` via ``split_sentence_spans``;
+    inter-sentence whitespace stays between the ``<s>`` elements, so
+    stripping the tags recovers the unsegmented entry byte-for-byte."""
     lang = lang or _DEFAULT_LANG
     parts = [
         _TEI_HEADER,
@@ -231,6 +304,13 @@ def assemble_body_tei(
         "\t</teiHeader>\n",
         f'\t<text xml:lang="{html_encode(lang)}">\n',
     ]
+
+    def _render(t: int) -> str:
+        tok = tokens[t]
+        if tok == "\n" or tok == "\r" or tok == "\r\n":
+            return "<lb/>\n"
+        return html_encode(tok)
+
     for k, run in enumerate(entries):
         open_tag, close_tag = _BODY_TAG_MAP.get(
             run["label"], (run["label"], "</" + run["label"][1:])
@@ -238,12 +318,17 @@ def assemble_body_tei(
         if coords is not None:
             open_tag = open_tag[:-1] + _coords_attr(coords, k) + ">"
         buf: list[str] = []
-        for t in range(run["start"], run["end"]):
-            tok = tokens[t]
-            if tok == "\n" or tok == "\r" or tok == "\r\n":
-                buf.append("<lb/>\n")
-            else:
-                buf.append(html_encode(tok))
+        if segment_sentences:
+            pos = run["start"]
+            for s, e in split_sentence_spans(tokens, run["start"], run["end"]):
+                buf.extend(_render(t) for t in range(pos, s))
+                buf.append("<s>")
+                buf.extend(_render(t) for t in range(s, e))
+                buf.append("</s>")
+                pos = e
+            buf.extend(_render(t) for t in range(pos, run["end"]))
+        else:
+            buf.extend(_render(t) for t in range(run["start"], run["end"]))
         parts.append(f"\t\t\t{open_tag}{''.join(buf)}{close_tag}\n")
     parts.append("\t</text>\n</tei>\n")
     return "".join(parts)

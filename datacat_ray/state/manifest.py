@@ -125,6 +125,7 @@ def _extract_partition(
     max_blocks: int,
     tei_coordinates: bool = False,
     model_paths: tuple = (),
+    segment_sentences: bool = False,
 ) -> dict:
     """One checkpoint unit: fragments → winner-filter → fused cascade →
     atomic part file + lineage record. Runs as a plain Ray task; the fused
@@ -156,7 +157,8 @@ def _extract_partition(
         batch = _dedup_batch(batch.filter(pa.array(mask)), "url", "warc_ts")
     result = _fused_task(batch, max_tokens=max_tokens, max_blocks=max_blocks,
                          tei_coordinates=tei_coordinates,
-                         model_paths=model_paths)
+                         model_paths=model_paths,
+                         segment_sentences=segment_sentences)
     rejected = sum(1 for e in result["error"].to_pylist() if e)
 
     data_name = f"part-{part_id:05d}.parquet"
@@ -192,7 +194,8 @@ def _extract_partition(
 
 
 def _check_job_config(out_dir: str, tei_coordinates: bool,
-                      model_paths: dict | None) -> None:
+                      model_paths: dict | None,
+                      segment_sentences: bool = False) -> None:
     """Bind the output directory to its extraction-config identity.
 
     Completed partitions are keyed only by partition id, so resuming with
@@ -208,6 +211,9 @@ def _check_job_config(out_dir: str, tei_coordinates: bool,
         with open(path, "rb") as fh:
             fps[name] = _hl.sha256(fh.read()).hexdigest()[:16]
     cfg = {"tei_coordinates": bool(tei_coordinates), "model_sha": fps}
+    if segment_sentences:
+        # only stamped when ON: pre-flag manifests stay resumable
+        cfg["segment_sentences"] = True
     mdir = os.path.join(out_dir, MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
     cfg_path = os.path.join(mdir, "_JOB_CONFIG.json")
@@ -237,6 +243,7 @@ def run_extract_job(
     max_in_flight: int = 64,
     tei_coordinates: bool = False,
     model_paths: dict | None = None,
+    segment_sentences: bool = False,
 ) -> dict:
     """Checkpointed flagship run over a parquet directory. Safe to re-invoke
     after a crash: completed partitions are skipped via the manifest
@@ -255,7 +262,8 @@ def run_extract_job(
             for f in os.listdir(d):
                 if f.startswith(".tmp."):
                     os.unlink(os.path.join(d, f))
-    _check_job_config(out_dir, tei_coordinates, model_paths)
+    _check_job_config(out_dir, tei_coordinates, model_paths,
+                      segment_sentences)
     fragments = list_fragments(input_path)
     parts = plan_partitions(fragments, fragments_per_part)
     done = completed_partitions(out_dir)
@@ -298,6 +306,7 @@ def run_extract_job(
             _extract_partition.remote(
                 part_id, frs, out_dir, winners_ref, max_tokens, max_blocks,
                 tei_coordinates, tuple(sorted((model_paths or {}).items())),
+                segment_sentences,
             )
         )
     recs.extend(ray.get(in_flight))

@@ -140,3 +140,69 @@ def test_fused_stage_tei_coordinates_end_to_end():
     assert seg_spans[0][0] == 0 and seg_spans[-1][1] == len(text)
     for a, b in zip(seg_spans, seg_spans[1:]):
         assert a[1] == b[0]
+
+
+def test_split_sentence_spans_rules():
+    """The -segmentSentences rule splitter: terminal punct + next-token
+    capitalization, single-uppercase-initial guard, closing-quote
+    absorption, whitespace outside spans."""
+    from datacat_ray.functions.textkit import tokenize_layout
+    from datacat_ray.stages.tei import split_sentence_spans
+
+    def sents(text):
+        toks = tokenize_layout(text)
+        return ["".join(toks[s:e])
+                for s, e in split_sentence_spans(toks, 0, len(toks))]
+
+    assert sents("Alpha beta. Gamma delta! Epsilon zeta?") == [
+        "Alpha beta.", "Gamma delta!", "Epsilon zeta?"]
+    # single-uppercase initial never closes a sentence
+    assert sents("J. Doe came. Then left.") == ["J. Doe came.", "Then left."]
+    # lowercase continuation never splits
+    assert sents("see e.g. this one. Done.") == ["see e.g. this one.", "Done."]
+    # closing quote is absorbed into the sentence
+    assert sents('He said "Stop." Then left.') == [
+        'He said "Stop."', "Then left."]
+    # digits open a sentence
+    assert sents("Prices rose. 2026 was worse.") == [
+        "Prices rose.", "2026 was worse."]
+    # no terminal punct: the whole run is one sentence, trailing ws trimmed
+    assert sents("no punctuation here at all ") == [
+        "no punctuation here at all"]
+    assert sents("") == []
+
+
+def test_body_tei_segment_sentences_golden():
+    """<s>-tagged body TEI: exact bytes with the flag on, byte-identical
+    to the unsegmented output with the tags stripped, and the default-off
+    output unchanged."""
+    lines, tokens, token_line = _mk(["One two. Three four! Five"])
+    runs = [{"label": "<entry>", "start": 0, "end": len(tokens)}]
+    plain = assemble_body_tei("u", "fr", tokens, runs)
+    seg = assemble_body_tei("u", "fr", tokens, runs, None, True)
+    assert ("\t\t\t<entry><s>One two.</s> <s>Three four!</s> <s>Five</s>"
+            "</entry>\n") in seg
+    assert seg.replace("<s>", "").replace("</s>", "") == plain
+    # off by default — the golden surface is untouched
+    assert "<s>" not in plain
+
+
+def test_fused_stage_segment_sentences_end_to_end():
+    """cfg.segment_sentences flows through the fused cascade: body TEI
+    gains <s> elements; stripping them recovers the default run's body TEI
+    byte-for-byte, and every other output column is identical."""
+    import random
+
+    from datacat_ray.fixtures import make_catalogue_html
+    from datacat_ray.pipelines.extract import FusedExtractStage
+
+    html, _ = make_catalogue_html(random.Random(7), n_entries=6)
+    base = FusedExtractStage()._one("http://s", "fr", html.encode(), None)
+    seg = FusedExtractStage(segment_sentences=True)._one(
+        "http://s", "fr", html.encode(), None)
+    assert base[-1] is None and seg[-1] is None
+    assert seg[3].count("<s>") >= 6  # every entry gains sentence level
+    assert seg[3].replace("<s>", "").replace("</s>", "") == base[3]
+    # text, main_text, segmenter tei, zones, entries all untouched
+    assert seg[0] == base[0] and seg[1] == base[1] and seg[2] == base[2]
+    assert seg[4] == base[4] and seg[5] == base[5]
