@@ -238,3 +238,81 @@ def test_ascii_ws_matches_re2_class():
     sql = [t for t in con.execute(
         r"SELECT regexp_split_to_array(?, '\s+')", [s]).fetchone()[0] if t]
     assert py == sql == ["a\x0bb", "c d"]
+
+
+def test_warc_flagship_identity_pinned_to_parquet_path(ray_session, tmp_path):
+    """VERDICT r4 #5: the Common-Crawl container path is held to the SAME
+    byte-identity contract the driver hash-checks on the parquet path.
+    The driver corpus (pages_from_documents over sf0.001) is wrapped into
+    gzip WARC segments; extract_pages_warc must recover (a) exactly the
+    source document text per doc (the extract_text_identity surface) and
+    (b) the parquet-path pipeline's full row set column-for-column."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from datacat_ray.fixtures import pages_from_documents
+    from datacat_ray.pipelines.extract import build_extract_pipeline
+    from datacat_ray.sources.warc import extract_pages_warc
+
+    sf = "/root/testdata/sf0.001"
+    pages = pages_from_documents(sf)
+
+    # WARC wrap: 3 segments, record order scrambled deterministically (the
+    # container must not rely on input order)
+    rows = list(
+        zip(
+            pages["url"].to_pylist(),
+            pages["warc_ts"].to_pylist(),
+            pages["html"].to_pylist(),
+        )
+    )
+    rows.sort(key=lambda r: hash(r[0]) % 997)
+    segs = []
+    for k in range(3):
+        recs = [
+            {"url": u, "warc_ts": int(ts.timestamp() * 1_000_000), "html": h}
+            for u, ts, h in rows[k::3]
+        ]
+        segs.append(
+            write_warc(str(tmp_path / f"seg-{k}.warc.gz"), recs)
+        )
+
+    got = {
+        r["url"]: r
+        for r in extract_pages_warc(segs).take_all()
+    }
+
+    # (a) byte identity against the source documents
+    docs = pq.read_table(f"{sf}/documents.parquet")
+    for doc_id, text in zip(
+        docs["doc_id"].to_pylist(), docs["text"].to_pylist()
+    ):
+        url = f"https://docs.example.org/{doc_id}"
+        assert got[url]["error"] is None
+        assert got[url]["main_text"] == text
+
+    # (b) pinned equal to the parquet-path pipeline, column for column
+    want = {
+        r["url"]: r
+        for r in build_extract_pipeline(
+            ray.data.from_arrow(pages)
+        ).take_all()
+    }
+    assert set(got) == set(want)
+    # the WARC container carries no language metadata (the pages parquet
+    # does), so the TEI xml:lang attribute differs by design — normalize
+    # that one attribute and demand byte equality on everything else
+    import re as _re
+
+    def _no_lang(s: str) -> str:
+        return _re.sub(r' xml:lang="[^"]*"', "", s)
+
+    for url, w in want.items():
+        g = got[url]
+        for col in ("extracted_text", "main_text", "zones", "entries",
+                    "n_lines", "n_tokens", "error"):
+            assert g[col] == w[col], (url, col)
+        for col in ("tei", "tei_body"):
+            assert _no_lang(g[col]) == _no_lang(w[col]), (url, col)
