@@ -49,9 +49,51 @@ def encode_avi(frames: list, fps: int) -> bytes:
     if not frames:
         raise ValueError("need at least one frame")
     h, w = frames[0].shape[0], frames[0].shape[1]
-    n = len(frames)
-    stride = _row_stride(w)
-    frame_size = stride * h
+    payloads = []
+    for f in frames:
+        if f.shape[:2] != (h, w):
+            raise ValueError("all frames must share one shape")
+        payloads.append(_frame_dib(np.asarray(f, dtype=np.uint8)))
+    return _build_avi(payloads, w, h, fps, handler=b"DIB ", chunk=b"00db",
+                      compression=0)
+
+
+MJPG_FOURCC = struct.unpack("<I", b"MJPG")[0]
+
+
+def encode_avi_mjpeg(
+    frames: list, fps: int, quality: int = 90, subsampling: str = "420"
+) -> bytes:
+    """Motion-JPEG AVI: every frame an independent baseline JPEG in a
+    '00dc' chunk, ``biCompression`` = 'MJPG' (the standard intra-only
+    compressed AVI layout). The JPEG codec is the in-repo pure-Python
+    baseline implementation (``functions/jpeg.py``), so the compressed
+    branch of the video seam is encodable AND decodable without ffmpeg."""
+    from datacat_ray.functions.jpeg import encode_jpeg
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[0], frames[0].shape[1]
+    payloads = []
+    for f in frames:
+        if f.shape[:2] != (h, w):
+            raise ValueError("all frames must share one shape")
+        payloads.append(
+            encode_jpeg(np.asarray(f, dtype=np.uint8), quality=quality,
+                        subsampling=subsampling)
+        )
+    return _build_avi(payloads, w, h, fps, handler=b"MJPG", chunk=b"00dc",
+                      compression=MJPG_FOURCC)
+
+
+def _build_avi(
+    payloads: list, w: int, h: int, fps: int,
+    handler: bytes, chunk: bytes, compression: int,
+) -> bytes:
+    """Assemble the RIFF container around ready frame payloads (one
+    builder for the BI_RGB and MJPG layouts)."""
+    n = len(payloads)
+    frame_size = max(len(p) for p in payloads)
 
     avih = b"avih" + struct.pack("<I", _AVIH.size) + _AVIH.pack(
         int(round(1_000_000 / fps)),  # dwMicroSecPerFrame
@@ -67,7 +109,7 @@ def encode_avi(frames: list, fps: int) -> bytes:
         0, 0, 0, 0,  # dwReserved
     )
     strh = b"strh" + struct.pack("<I", _STRH.size) + _STRH.pack(
-        b"vids", b"DIB ",
+        b"vids", handler,
         0,  # dwFlags
         0, 0,  # wPriority, wLanguage
         0,  # dwInitialFrames
@@ -80,7 +122,7 @@ def encode_avi(frames: list, fps: int) -> bytes:
         0, 0, w, h,  # rcFrame
     )
     strf = b"strf" + struct.pack("<I", _BMIH.size) + _BMIH.pack(
-        _BMIH.size, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0
+        _BMIH.size, w, h, 1, 24, compression, frame_size, 0, 0, 0, 0
     )
     strl = b"LIST" + struct.pack("<I", 4 + len(strh) + len(strf)) + b"strl" \
         + strh + strf
@@ -90,14 +132,12 @@ def encode_avi(frames: list, fps: int) -> bytes:
     movi_chunks = []
     idx = []
     offset = 4  # idx1 offsets are relative to the 'movi' fourcc
-    for f in frames:
-        if f.shape[:2] != (h, w):
-            raise ValueError("all frames must share one shape")
-        dib = _frame_dib(np.asarray(f, dtype=np.uint8))
-        movi_chunks.append(b"00db" + struct.pack("<I", len(dib)) + dib)
+    for p in payloads:
+        pad = b"\x00" if len(p) & 1 else b""  # chunks are word-aligned
+        movi_chunks.append(chunk + struct.pack("<I", len(p)) + p + pad)
         idx.append(struct.pack(
-            "<4sIII", b"00db", _AVIIF_KEYFRAME, offset, len(dib)))
-        offset += 8 + len(dib)
+            "<4sIII", chunk, _AVIIF_KEYFRAME, offset, len(p)))
+        offset += 8 + len(p) + len(pad)
     movi_body = b"".join(movi_chunks)
     movi = b"LIST" + struct.pack("<I", 4 + len(movi_body)) + b"movi" \
         + movi_body
@@ -142,32 +182,50 @@ def parse_avi_header(payload: bytes) -> tuple[int, int, int, int]:
     return n_frames, width, height, fps
 
 
-def decode_avi_frame(payload: bytes, frame_idx: int) -> np.ndarray:
-    """Walk the movi list to the frame_idx-th '00db'/'00dc' chunk and
-    decode the BI_RGB plane back to uint8 (h, w, 3) RGB."""
-    n, w, h, _fps = parse_avi_header(payload)
+def _frame_chunk(payload: bytes, frame_idx: int) -> tuple[int, int]:
+    """(data offset, size) of the frame_idx-th '00db'/'00dc' chunk in the
+    movi list (shared by the BI_RGB and MJPG decode paths)."""
+    n, _w, _h, _fps = parse_avi_header(payload)
     if not 0 <= frame_idx < n:
         raise ValueError("frame index out of range")
     end = 12 + struct.unpack_from("<I", payload, 4)[0] - 4
     movi, msize = _find_chunk(payload, 12, end, b"LIST", b"movi")
     pos = movi
     seen = 0
-    stride = _row_stride(w)
     while pos + 8 <= movi + msize:
         ck = payload[pos:pos + 4]
         (size,) = struct.unpack_from("<I", payload, pos + 4)
         if ck in (b"00db", b"00dc"):
             if seen == frame_idx:
-                if size < stride * h:
-                    raise ValueError("truncated frame chunk")
-                plane = np.frombuffer(
-                    payload, dtype=np.uint8, count=stride * h, offset=pos + 8
-                ).reshape(h, stride)
-                bgr = plane[:, : w * 3].reshape(h, w, 3)
-                return bgr[::-1, :, ::-1].copy()  # bottom-up → top-down, BGR→RGB
+                return pos + 8, size
             seen += 1
         pos += 8 + size + (size & 1)
     raise ValueError("frame chunk missing from movi list")
+
+
+def decode_avi_frame(payload: bytes, frame_idx: int) -> np.ndarray:
+    """Walk the movi list to the frame_idx-th '00db'/'00dc' chunk and
+    decode the BI_RGB plane back to uint8 (h, w, 3) RGB."""
+    _n, w, h, _fps = parse_avi_header(payload)
+    off, size = _frame_chunk(payload, frame_idx)
+    stride = _row_stride(w)
+    if size < stride * h:
+        raise ValueError("truncated frame chunk")
+    plane = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=off
+    ).reshape(h, stride)
+    bgr = plane[:, : w * 3].reshape(h, w, 3)
+    return bgr[::-1, :, ::-1].copy()  # bottom-up → top-down, BGR→RGB
+
+
+def decode_avi_frame_mjpeg(payload: bytes, frame_idx: int) -> np.ndarray:
+    """MJPG branch: the frame chunk is an independent baseline JPEG —
+    decode with the in-repo pure-Python codec (deterministic, no
+    subprocess)."""
+    from datacat_ray.functions.jpeg import decode_jpeg
+
+    off, size = _frame_chunk(payload, frame_idx)
+    return decode_jpeg(payload[off : off + size])
 
 
 # ---------------------------------------------------------------------------
@@ -266,22 +324,28 @@ def decode_frame_ffmpeg(payload: bytes, frame_idx: int) -> np.ndarray:
 def decode_video_frames(
     payload: bytes, frame_idxs: list[int]
 ) -> list[np.ndarray]:
-    """THE frame-decode seam, batched per payload: BI_RGB streams decode
-    in pure Python (random access via the container index, no cross-frame
-    state); compressed codecs route to ONE ffmpeg subprocess for the whole
-    sampled grid when present, else raise ``UnsupportedCodec`` with the
-    fix spelled out. One signature for every codec, so pipeline stages
-    never branch on the payload."""
+    """THE frame-decode seam, batched per payload: BI_RGB and MJPG
+    streams decode in pure Python (random access via the container
+    walk, no cross-frame state — MJPEG frames are independent baseline
+    JPEGs, handled by ``functions/jpeg.py``; preferred over ffmpeg even
+    when present because the in-repo decode is deterministic and
+    subprocess-free). Other compressed codecs route to ONE ffmpeg
+    subprocess for the whole sampled grid when present, else raise
+    ``UnsupportedCodec`` with the fix spelled out. One signature for
+    every codec, so pipeline stages never branch on the payload."""
     comp = avi_compression(payload)
     if comp == 0:
         return [decode_avi_frame(payload, fi) for fi in frame_idxs]
+    if comp == MJPG_FOURCC:
+        return [decode_avi_frame_mjpeg(payload, fi) for fi in frame_idxs]
     if has_ffmpeg():
         return decode_frames_ffmpeg(payload, frame_idxs)
     fourcc = struct.pack("<I", comp)
     raise UnsupportedCodec(
         f"AVI video stream is compressed (biCompression={fourcc!r}); the "
-        "pure-Python decoder covers BI_RGB only — install ffmpeg to enable "
-        "the subprocess decode path (decode_frames_ffmpeg)"
+        "pure-Python decoders cover BI_RGB and MJPG — install ffmpeg to "
+        "enable the subprocess decode path (decode_frames_ffmpeg) for "
+        "other codecs"
     )
 
 

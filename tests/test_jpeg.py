@@ -1,0 +1,96 @@
+"""Pure-Python baseline JPEG codec (functions/jpeg.py): roundtrip error
+bounds, chroma subsampling, restart markers, grayscale, determinism, and
+malformed-input rejection."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from datacat_ray.functions.jpeg import decode_jpeg, encode_jpeg
+
+
+def _gradient(h, w):
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack([
+        np.clip(x * 3, 0, 255),
+        np.clip(y * 4, 0, 255),
+        np.clip(120 + x, 0, 255),
+    ], axis=-1).astype(np.uint8)
+
+
+def test_flat_color_exact():
+    """A flat block is DC-only — q95 roundtrip is bit-exact."""
+    flat = np.full((16, 24, 3), [120, 64, 200], dtype=np.uint8)
+    assert (decode_jpeg(encode_jpeg(flat, 95)) == flat).all()
+
+
+def test_gradient_tight_bound():
+    img = _gradient(33, 47)
+    d = decode_jpeg(encode_jpeg(img, 95))
+    assert np.abs(d.astype(int) - img.astype(int)).max() <= 3
+
+
+@pytest.mark.parametrize("shape", [(8, 8, 3), (9, 13, 3), (1, 1, 3), (7, 3, 3)])
+def test_odd_shapes_roundtrip(shape):
+    rng = np.random.RandomState(sum(shape))
+    img = rng.randint(0, 256, shape, dtype=np.uint8)
+    assert decode_jpeg(encode_jpeg(img, 90)).shape == shape
+
+
+def test_grayscale():
+    y, x = np.mgrid[0:21, 0:15]
+    g = np.clip(y * 7, 0, 255).astype(np.uint8)
+    d = decode_jpeg(encode_jpeg(g, 90))
+    assert d.shape == (21, 15, 3)
+    assert np.abs(d[:, :, 0].astype(int) - g.astype(int)).max() <= 2
+    assert (d[:, :, 0] == d[:, :, 1]).all() and (d[:, :, 0] == d[:, :, 2]).all()
+
+
+def test_420_subsampling_roundtrip():
+    """4:2:0 (ffmpeg's MJPEG layout): decoder upsamples h2v2 correctly;
+    flat chroma survives exactly, gradients within a loose bound."""
+    flat = np.full((24, 40, 3), [200, 30, 90], dtype=np.uint8)
+    assert (decode_jpeg(encode_jpeg(flat, 95, subsampling="420")) == flat).all()
+    img = _gradient(37, 53)
+    d = decode_jpeg(encode_jpeg(img, 95, subsampling="420"))
+    assert np.abs(d.astype(int) - img.astype(int)).max() <= 8
+
+
+def test_restart_markers():
+    """DRI/RSTn: predictors reset per interval; output equals the
+    no-restart encode's decode exactly (same coefficients either way)."""
+    img = _gradient(24, 40)
+    plain = decode_jpeg(encode_jpeg(img, 90))
+    for interval in (1, 2, 5):
+        d = decode_jpeg(encode_jpeg(img, 90, restart_interval=interval))
+        assert (d == plain).all()
+    d = decode_jpeg(
+        encode_jpeg(img, 90, subsampling="420", restart_interval=2)
+    )
+    assert np.abs(d.astype(int) - img.astype(int)).max() <= 8
+
+
+def test_deterministic_bytes():
+    img = _gradient(16, 16)
+    assert encode_jpeg(img, 80) == encode_jpeg(img, 80)
+
+
+def test_quality_monotone_size():
+    img = np.random.RandomState(1).randint(0, 256, (32, 32, 3), np.uint8)
+    assert len(encode_jpeg(img, 95)) > len(encode_jpeg(img, 50))
+
+
+def test_rejects_malformed():
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"not a jpeg")
+    # progressive (SOF2) is out of baseline scope — explicit error
+    data = bytearray(encode_jpeg(_gradient(8, 8), 90))
+    sof = data.find(b"\xff\xc0")
+    data[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg(bytes(data))
+    with pytest.raises(ValueError, match="empty"):
+        encode_jpeg(np.zeros((0, 4, 3), np.uint8))
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg(_gradient(8, 8), 90, subsampling="422")
