@@ -1221,6 +1221,37 @@ def _label_bucket_map(lab_dir: str, b: int) -> tuple[np.ndarray, np.ndarray]:
     return cached
 
 
+def neardup_clusters_sql(threshold: float = 0.7) -> str:
+    """Connected-components oracle over the SQL-replayed MinHash pair
+    graph (``minhash_pairs_sql``): a recursive min-label closure —
+    ``reach(node, lab)`` holds every label reachable from a node through
+    verified near-dup edges, MIN per node is the component id, docs with
+    no edge stay their own singleton via the LEFT JOIN. Exactly
+    ``neardup_clusters``' contract (cluster_id = min doc_id in the
+    component), so both the driver union-find and the distributed
+    label-propagation modes are pinned against plain ANSI SQL. The closure
+    is O(component² ) rows — an ORACLE shape (fine at driver scale), not
+    the engine's (Hash-to-Min rounds with O(1) driver state)."""
+    pairs = minhash_pairs_sql(threshold)
+    return f"""
+        WITH RECURSIVE pairs AS MATERIALIZED ({pairs}),
+        sym AS MATERIALIZED (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION
+            SELECT doc_b AS a, doc_a AS b FROM pairs
+        ),
+        reach(node, lab) AS (
+            SELECT a AS node, a AS lab FROM (SELECT DISTINCT a FROM sym)
+            UNION
+            SELECT s.a, r.lab FROM reach r JOIN sym s ON s.b = r.node
+        )
+        SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN (
+            SELECT node, MIN(lab) AS cluster_id FROM reach GROUP BY node
+        ) c ON c.node = d.doc_id
+    """
+
+
 def neardup_clusters(
     sf_dir: str,
     threshold: float = 0.7,

@@ -38,6 +38,7 @@ from datacat_ray.pipelines.dedup_ops import (
     minhash_pairs_query,
     minhash_pairs_sql,
     neardup_clusters,
+    neardup_clusters_sql,
     ngram_jaccard_pairs,
     ngram_jaccard_sql,
     simhash_pairs,
@@ -497,7 +498,9 @@ def build_oracle_sql() -> dict[str, str]:
         #   extract_flagship (cascade; its byte-identity slice IS oracled via
         #   extract_text_identity), features_debug (33-field featurizer,
         #   golden-tested), embedding_neardup (float cosine banding),
-        #   neardup_clusters (components over the LSH pair graph),
+        #   neardup_clusters (oracle EXISTS — recursive closure over the
+        #   LSH replay — but past the slot-50 budget; pytest-pinned via
+        #   build_retired_oracles),
         #   knn_ivf (approximate), kmeans_clusters (iterative Lloyd's --
         #   deterministic, pinned to a numpy reference in tests),
         #   approx_distinct_users / approx_users_per_type (sketches),
@@ -519,6 +522,13 @@ def build_retired_oracles() -> dict[str, tuple[Callable[[str], Any], str]]:
     correctness coverage."""
     return {
         "incremental_dedup": (incremental_dedup, INCREMENTAL_DEDUP_SQL),
+        # r5: the LSH replay (minhash_pairs_sql) makes even the component
+        # op SQL-expressible — a recursive min-label closure pins BOTH
+        # neardup_clusters modes against ANSI SQL
+        "neardup_clusters": (
+            lambda sf: neardup_clusters(sf, threshold=0.7),
+            neardup_clusters_sql(threshold=0.7),
+        ),
         "knn_multi_query": (
             lambda sf: multi_query_topk(sf, (0, 1, 2, 3), k=5),
             KNN_MULTI_QUERY_SQL,
