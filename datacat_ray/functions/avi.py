@@ -337,7 +337,15 @@ def decode_video_frames(
     if comp == 0:
         return [decode_avi_frame(payload, fi) for fi in frame_idxs]
     if comp == MJPG_FOURCC:
-        return [decode_avi_frame_mjpeg(payload, fi) for fi in frame_idxs]
+        try:
+            return [decode_avi_frame_mjpeg(payload, fi) for fi in frame_idxs]
+        except ValueError:
+            # an MJPEG feature outside the baseline subset (progressive
+            # scan, sampling >2x2): keep the pre-MJPG behavior — the
+            # ffmpeg seam still decodes it when available
+            if has_ffmpeg():
+                return decode_frames_ffmpeg(payload, frame_idxs)
+            raise
     if has_ffmpeg():
         return decode_frames_ffmpeg(payload, frame_idxs)
     fourcc = struct.pack("<I", comp)

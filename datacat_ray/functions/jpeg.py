@@ -235,10 +235,12 @@ def _magnitude(v: int) -> tuple[int, int]:
 def _encode_plane_coeffs(
     plane: np.ndarray, qt: np.ndarray
 ) -> np.ndarray:
-    """float plane → (n_blocks, 64) quantized zigzag coefficients."""
+    """float plane → (n_blocks, 64) quantized zigzag coefficients.
+    ``qt`` is in RASTER order (as the Annex K literals are written); the
+    DQT segment serializes it in zigzag order per spec B.2.4.1."""
     blocks = _plane_blocks(plane) - 128.0
     coef = np.einsum("ux,nxy,vy->nuv", _DCT_T, blocks, _DCT_T)
-    q = qt[_UNZIGZAG].reshape(8, 8)
+    q = qt.reshape(8, 8)
     quant = np.round(coef / q).astype(np.int64)
     return quant.reshape(-1, 64)[:, ZIGZAG]
 
@@ -326,13 +328,14 @@ def encode_jpeg(
     out += b"\xff\xd8"  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
     out += struct.pack(">HHBB", 1, 1, 0, 0)
-    # DQT
+    # DQT — tables serialize in ZIGZAG order (spec B.2.4.1); the literals
+    # and the quantize step use raster order
     out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(
-        int(x) for x in qt_l
+        int(x) for x in qt_l[ZIGZAG]
     )
     if not gray:
         out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + bytes(
-            int(x) for x in qt_c
+            int(x) for x in qt_c[ZIGZAG]
         )
     # SOF0
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
@@ -438,7 +441,12 @@ class _BitReader:
         if self.nbits == 0:
             self._fill()
         self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+        bit = (self.acc >> self.nbits) & 1
+        # drop the consumed high bit — an unmasked accumulator grows one
+        # byte per _fill, turning every shift into an O(scan-size) bigint
+        # op (quadratic total on a large frame)
+        self.acc &= (1 << self.nbits) - 1
+        return bit
 
     def read_bits(self, n: int) -> int:
         v = 0
@@ -480,8 +488,26 @@ def _extend(v: int, ssss: int) -> int:
 
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JPEG bytes → uint8 RGB (h, w, 3) (grayscale stacked to 3
-    channels). Supports multiple DQT/DHT segments, sampling factors ≤ 2×2,
-    and restart markers."""
+    channels). Supports multiple DQT/DHT segments, omitted-DHT streams
+    (the MJPEG-in-AVI convention: Annex K tables implied), sampling
+    factors ≤ 2×2, and restart markers.
+
+    Error contract: EVERY malformed input raises ``ValueError`` — the
+    poison-row handlers upstream (``VideoFrameSampler``) catch exactly
+    that, so a truncated scan or missing table must never surface as
+    EOFError/KeyError and kill a Ray task."""
+    try:
+        return _decode_jpeg(data)
+    except ValueError:
+        raise
+    except (EOFError, KeyError, IndexError, StopIteration,
+            struct.error) as exc:
+        raise ValueError(
+            f"malformed JPEG stream ({type(exc).__name__}: {exc})"
+        ) from exc
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
@@ -543,6 +569,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
+            if not dc_tabs and not ac_tabs:
+                # omitted-DHT convention (common for MJPEG-in-AVI): the
+                # Annex K tables are implied — 0 = luma, 1 = chroma
+                dc_tabs[0] = _build_huff_decode(_DC_LUMA_BITS, _DC_LUMA_VALS)
+                ac_tabs[0] = _build_huff_decode(_AC_LUMA_BITS, _AC_LUMA_VALS)
+                dc_tabs[1] = _build_huff_decode(
+                    _DC_CHROMA_BITS, _DC_CHROMA_VALS)
+                ac_tabs[1] = _build_huff_decode(
+                    _AC_CHROMA_BITS, _AC_CHROMA_VALS)
             ns = seg[0]
             scan = []
             for si in range(ns):

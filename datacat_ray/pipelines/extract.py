@@ -298,9 +298,10 @@ class BodyStage:
     """ST2 actor: body token featurization + entry CRF + TEI/flat-text
     assembly. Emits the final result rows."""
 
-    def __init__(self) -> None:
+    def __init__(self, segment_sentences: bool = False) -> None:
         self.decoder = CRFDecoder(BODY_MODEL)
         self._lex = FusedExtractStage()  # reuse the lexical-level decode
+        self.segment_sentences = segment_sentences
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
@@ -329,7 +330,9 @@ class BodyStage:
                 text = extracted_text(tokens)
                 main = unwrapped_text(lines)
                 tei = assemble_segmenter_tei(url, lang, lines, line_labels)
-                tei_body = assemble_body_tei(url, lang, tokens, entries)
+                tei_body = assemble_body_tei(
+                    url, lang, tokens, entries, None, self.segment_sentences
+                )
             except Exception as exc:  # noqa: BLE001 — poison-row side output
                 entries, lexical, text, main, tei, tei_body = [], [], "", "", "", ""
                 err = err or f"{type(exc).__name__}: {exc}"
@@ -456,6 +459,7 @@ def build_staged_pipeline(
     )
     return ds.map_batches(
         BodyStage,
+        fn_constructor_kwargs={"segment_sentences": cfg.segment_sentences},
         batch_format="pyarrow",
         batch_size=cfg.body.batch_size,
         concurrency=cfg.body.concurrency,

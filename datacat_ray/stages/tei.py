@@ -224,10 +224,12 @@ def split_sentence_spans(
     consumes it, so this optional ``<s>`` level closes even the nominal
     gap). Rule: a sentence closes at a ``. ! ?`` token (plus any
     immediately following closing quotes/brackets) when the previous
-    non-space token is not a single uppercase letter (initials: ``J.``)
-    and the next non-space token starts with an uppercase letter or a
-    digit (or the run ends). Pure token arithmetic — no model, no locale
-    tables — so the split is reproducible anywhere. Returns [start, end)
+    non-space token is not a single uppercase letter (initials: ``J.``),
+    at least one whitespace token separates it from what follows (so
+    decimal numbers — ``3.14``, ``section 2.5`` — never split), and the
+    next non-space token starts with an uppercase letter or a digit (or
+    the run ends). Pure token arithmetic — no model, no locale tables —
+    so the split is reproducible anywhere. Returns [start, end)
     sub-spans covering each sentence; inter-sentence whitespace/newline
     tokens fall OUTSIDE the spans (rendered between ``<s>`` elements, so
     the entry's token concatenation is unchanged)."""
@@ -264,8 +266,12 @@ def split_sentence_spans(
                 while nk < end and is_ws(tokens[nk]):
                     nk += 1
                 nxt = tokens[nk] if nk < end else None
+                # nk > k: something must follow AND be whitespace-separated
+                # — '3.14' tokenizes as ['3','.','14'] with no gap, so the
+                # digit rule alone would split inside decimal numbers
                 if not is_initial and (
-                    nxt is None or nxt[:1].isupper() or nxt[:1].isdigit()
+                    nxt is None
+                    or (nk > k and (nxt[:1].isupper() or nxt[:1].isdigit()))
                 ):
                     bend = k
                     break

@@ -94,3 +94,58 @@ def test_rejects_malformed():
         encode_jpeg(np.zeros((0, 4, 3), np.uint8))
     with pytest.raises(ValueError, match="subsampling"):
         encode_jpeg(_gradient(8, 8), 90, subsampling="422")
+
+
+def test_malformed_raises_valueerror_only():
+    """Error contract: truncated scans, missing tables, and garbage all
+    raise ValueError (never EOFError/KeyError) — the poison-row handlers
+    upstream catch exactly ValueError."""
+    data = encode_jpeg(_gradient(16, 16), 90)
+    with pytest.raises(ValueError):
+        decode_jpeg(data[:-10])  # truncated mid-entropy-data
+    # strip the DHT segments AND the DQT ids they pair with is hard to do
+    # surgically; instead corrupt a Huffman table id in SOS so lookup
+    # misses → must still be ValueError
+    sos = data.find(b"\xff\xda")
+    bad = bytearray(data)
+    bad[sos + 6] = 0x33  # component 1 now wants tables 3/3 (absent)
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(bad))
+
+
+def test_omitted_dht_uses_standard_tables():
+    """MJPEG-in-AVI convention: streams with no DHT segment decode with
+    the implied Annex K tables."""
+    data = encode_jpeg(_gradient(24, 16), 92)
+    out = bytearray()
+    pos = 0
+    while pos < len(data):  # strip every DHT segment
+        if data[pos:pos + 2] == b"\xff\xc4":
+            import struct as _s
+
+            (seglen,) = _s.unpack_from(">H", data, pos + 2)
+            pos += 2 + seglen
+            continue
+        out.append(data[pos])
+        pos += 1
+    stripped = bytes(out)
+    assert b"\xff\xc4" not in stripped[:stripped.find(b"\xff\xda")]
+    assert (decode_jpeg(stripped) == decode_jpeg(data)).all()
+
+
+def test_quant_table_raster_semantics():
+    """The effective quantization matrix equals the Annex K raster table
+    (a zigzag/raster mixup quantizes low horizontal frequencies ~4x too
+    hard): encode a pure horizontal low-frequency pattern at quality 50
+    (=the unscaled base table) and demand near-exact recovery, which only
+    holds when coefficient (0,1)/(0,2) get their fine Annex K steps."""
+    import numpy as np
+
+    y, x = np.mgrid[0:8, 0:8]
+    wave = (128 + 60 * np.cos((2 * x + 1) * np.pi / 16)).round().astype(
+        np.uint8
+    )  # exactly DCT basis (u,v)=(0,1) — quant step 11 raster vs 40 scrambled
+    img = np.stack([wave, wave, wave], axis=-1)
+    d = decode_jpeg(encode_jpeg(img, 50))
+    err = np.abs(d[:, :, 0].astype(int) - wave.astype(int)).max()
+    assert err <= 4, err

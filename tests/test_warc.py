@@ -260,7 +260,10 @@ def test_warc_flagship_identity_pinned_to_parquet_path(ray_session, tmp_path):
     pages = pages_from_documents(sf)
 
     # WARC wrap: 3 segments, record order scrambled deterministically (the
-    # container must not rely on input order)
+    # container must not rely on input order; crc32 — not hash(), whose
+    # per-process salt would make the order unreproducible across runs)
+    import zlib
+
     rows = list(
         zip(
             pages["url"].to_pylist(),
@@ -268,7 +271,7 @@ def test_warc_flagship_identity_pinned_to_parquet_path(ray_session, tmp_path):
             pages["html"].to_pylist(),
         )
     )
-    rows.sort(key=lambda r: hash(r[0]) % 997)
+    rows.sort(key=lambda r: zlib.crc32(r[0].encode()) % 997)
     segs = []
     for k in range(3):
         recs = [

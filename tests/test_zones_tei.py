@@ -166,6 +166,12 @@ def test_split_sentence_spans_rules():
     # digits open a sentence
     assert sents("Prices rose. 2026 was worse.") == [
         "Prices rose.", "2026 was worse."]
+    # …but never when the period is glued to the digits: decimals and
+    # section numbers stay whole (whitespace-separation requirement)
+    assert sents("The price is 3.14 dollars today. Next item.") == [
+        "The price is 3.14 dollars today.", "Next item."]
+    assert sents("See section 2.5 for details. Done.") == [
+        "See section 2.5 for details.", "Done."]
     # no terminal punct: the whole run is one sentence, trailing ws trimmed
     assert sents("no punctuation here at all ") == [
         "no punctuation here at all"]
