@@ -327,13 +327,18 @@ class AudioFrameSampler:
 from datacat_ray.functions.avi import (  # noqa: E402 — section-local import
     decode_video_frames,
     encode_avi,
+    encode_avi_mjpeg,
     parse_avi_header,
 )
 
 
 def make_fake_video(seed: int) -> bytes:
     """Deterministic REAL AVI payload (tiny frames, a moving gradient) so
-    container parse + frame decode are exercised on a genuine format."""
+    container parse + frame decode are exercised on a genuine format.
+    Every third seed emits an MJPEG stream (baseline JPEG frames, 4:2:0)
+    instead of uncompressed BI_RGB, so the driver-visible ``video_frames``
+    pipeline runs BOTH codec paths of the decode seam at corpus scale —
+    not just in unit tests."""
     rng = np.random.RandomState((seed * 53 + 11) & 0x7FFFFFFF)
     fps = int(rng.choice([24, 25, 30]))
     n_frames = int(rng.randint(8, 25))
@@ -352,6 +357,8 @@ def make_fake_video(seed: int) -> bytes:
             axis=2,
         ).astype(np.uint8)
         frames.append(arr)
+    if seed % 3 == 2:
+        return encode_avi_mjpeg(frames, fps, quality=95, subsampling="420")
     return encode_avi(frames, fps)
 
 

@@ -150,6 +150,21 @@ def test_video_frame_sampling(ray_session):
     assert all(0 < l < 255 for l in good["frame_luma"])
     with pytest.raises(ValueError):
         VideoFrameSampler.decode_frames(b"junk", [0])
+    # seed%3==2 payloads are MJPEG (compressed seam runs at corpus scale);
+    # both codecs must sample as valid rows, here decoded without ffmpeg
+    import datacat_ray.functions.avi as A
+
+    assert A.avi_compression(make_fake_video(2)) == A.MJPG_FOURCC
+    old = A._FFMPEG
+    A._FFMPEG = False
+    try:
+        mj = VideoFrameSampler(sample_sec=2.0)(
+            pa.table({"doc_id": [5],
+                      "video": pa.array([make_fake_video(5)], pa.binary())})
+        ).to_pylist()[0]
+    finally:
+        A._FFMPEG = old
+    assert mj["valid"] and len(mj["frame_luma"]) == len(mj["sampled_frames"])
     assert video_frames("/root/testdata/sf0.001").count() == 500
 
 
