@@ -182,32 +182,40 @@ def parse_avi_header(payload: bytes) -> tuple[int, int, int, int]:
     return n_frames, width, height, fps
 
 
-def _frame_chunk(payload: bytes, frame_idx: int) -> tuple[int, int]:
-    """(data offset, size) of the frame_idx-th '00db'/'00dc' chunk in the
-    movi list (shared by the BI_RGB and MJPG decode paths)."""
+def _frame_chunks(
+    payload: bytes, frame_idxs: list[int]
+) -> list[tuple[int, int]]:
+    """(data offset, size) per requested frame — ONE header parse and ONE
+    movi walk for the whole sampled grid (a per-frame walk would make a
+    dense grid over a long stream quadratic in stream length), shared by
+    the BI_RGB and MJPG decode paths."""
     n, _w, _h, _fps = parse_avi_header(payload)
-    if not 0 <= frame_idx < n:
-        raise ValueError("frame index out of range")
+    wanted: dict[int, tuple[int, int] | None] = {}
+    for fi in frame_idxs:
+        if not 0 <= fi < n:
+            raise ValueError("frame index out of range")
+        wanted.setdefault(fi, None)
     end = 12 + struct.unpack_from("<I", payload, 4)[0] - 4
     movi, msize = _find_chunk(payload, 12, end, b"LIST", b"movi")
     pos = movi
     seen = 0
-    while pos + 8 <= movi + msize:
+    remaining = len(wanted)
+    while pos + 8 <= movi + msize and remaining:
         ck = payload[pos:pos + 4]
         (size,) = struct.unpack_from("<I", payload, pos + 4)
         if ck in (b"00db", b"00dc"):
-            if seen == frame_idx:
-                return pos + 8, size
+            if seen in wanted and wanted[seen] is None:
+                wanted[seen] = (pos + 8, size)
+                remaining -= 1
             seen += 1
         pos += 8 + size + (size & 1)
-    raise ValueError("frame chunk missing from movi list")
+    if remaining:
+        raise ValueError("frame chunk missing from movi list")
+    return [wanted[fi] for fi in frame_idxs]  # type: ignore[misc]
 
 
-def decode_avi_frame(payload: bytes, frame_idx: int) -> np.ndarray:
-    """Walk the movi list to the frame_idx-th '00db'/'00dc' chunk and
-    decode the BI_RGB plane back to uint8 (h, w, 3) RGB."""
-    _n, w, h, _fps = parse_avi_header(payload)
-    off, size = _frame_chunk(payload, frame_idx)
+def _decode_dib(payload: bytes, off: int, size: int, w: int,
+                h: int) -> np.ndarray:
     stride = _row_stride(w)
     if size < stride * h:
         raise ValueError("truncated frame chunk")
@@ -218,13 +226,21 @@ def decode_avi_frame(payload: bytes, frame_idx: int) -> np.ndarray:
     return bgr[::-1, :, ::-1].copy()  # bottom-up → top-down, BGR→RGB
 
 
+def decode_avi_frame(payload: bytes, frame_idx: int) -> np.ndarray:
+    """Walk the movi list to the frame_idx-th '00db'/'00dc' chunk and
+    decode the BI_RGB plane back to uint8 (h, w, 3) RGB."""
+    _n, w, h, _fps = parse_avi_header(payload)
+    off, size = _frame_chunks(payload, [frame_idx])[0]
+    return _decode_dib(payload, off, size, w, h)
+
+
 def decode_avi_frame_mjpeg(payload: bytes, frame_idx: int) -> np.ndarray:
     """MJPG branch: the frame chunk is an independent baseline JPEG —
     decode with the in-repo pure-Python codec (deterministic, no
     subprocess)."""
     from datacat_ray.functions.jpeg import decode_jpeg
 
-    off, size = _frame_chunk(payload, frame_idx)
+    off, size = _frame_chunks(payload, [frame_idx])[0]
     return decode_jpeg(payload[off : off + size])
 
 
@@ -335,10 +351,19 @@ def decode_video_frames(
     every codec, so pipeline stages never branch on the payload."""
     comp = avi_compression(payload)
     if comp == 0:
-        return [decode_avi_frame(payload, fi) for fi in frame_idxs]
+        _n, w, h, _fps = parse_avi_header(payload)
+        return [
+            _decode_dib(payload, off, size, w, h)
+            for off, size in _frame_chunks(payload, frame_idxs)
+        ]
     if comp == MJPG_FOURCC:
+        from datacat_ray.functions.jpeg import decode_jpeg
+
         try:
-            return [decode_avi_frame_mjpeg(payload, fi) for fi in frame_idxs]
+            return [
+                decode_jpeg(payload[off : off + size])
+                for off, size in _frame_chunks(payload, frame_idxs)
+            ]
         except ValueError:
             # an MJPEG feature outside the baseline subset (progressive
             # scan, sampling >2x2): keep the pre-MJPG behavior — the

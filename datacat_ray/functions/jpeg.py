@@ -118,6 +118,10 @@ _x = np.arange(8)
 _DCT_T = np.cos((2 * _x[None, :] + 1) * _x[:, None] * np.pi / 16) * 0.5
 _DCT_T[0, :] = np.sqrt(1.0 / 8.0)
 
+# decode-side allocation bound: SOF-declared w*h caps every plane alloc
+# and the MCU loop (thumbnail-to-HD is the codec's documented role)
+_MAX_PIXELS = 1 << 26  # 67 M pixels (~8k x 8k)
+
 
 # --- shared helpers ---------------------------------------------------------
 
@@ -155,6 +159,28 @@ def _build_huff_decode(bits: list[int], vals: list[int]) -> dict:
             k += 1
         code <<= 1
     return out
+
+
+_DEFAULT_HUFF: tuple | None = None
+
+
+def _default_huff_tables() -> tuple[dict, dict]:
+    """Implied Annex K decode tables (0 = luma, 1 = chroma), built once
+    per process — they sit on the per-frame decode path for DHT-less
+    MJPEG streams."""
+    global _DEFAULT_HUFF
+    if _DEFAULT_HUFF is None:
+        _DEFAULT_HUFF = (
+            {
+                0: _build_huff_decode(_DC_LUMA_BITS, _DC_LUMA_VALS),
+                1: _build_huff_decode(_DC_CHROMA_BITS, _DC_CHROMA_VALS),
+            },
+            {
+                0: _build_huff_decode(_AC_LUMA_BITS, _AC_LUMA_VALS),
+                1: _build_huff_decode(_AC_CHROMA_BITS, _AC_CHROMA_VALS),
+            },
+        )
+    return _DEFAULT_HUFF
 
 
 def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
@@ -498,10 +524,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     EOFError/KeyError and kill a Ray task."""
     try:
         return _decode_jpeg(data)
-    except ValueError:
-        raise
     except (EOFError, KeyError, IndexError, StopIteration,
-            struct.error) as exc:
+            struct.error, ZeroDivisionError, MemoryError) as exc:
         raise ValueError(
             f"malformed JPEG stream ({type(exc).__name__}: {exc})"
         ) from exc
@@ -555,12 +579,23 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 sp += 17 + nv
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline-ish)
             _prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if h == 0 or w == 0 or h * w > _MAX_PIXELS:
+                # declared dimensions bound every allocation downstream —
+                # a 200-byte stream claiming 65535x65535 must be a
+                # ValueError poison row, not a 34 GB plane allocation
+                raise ValueError(
+                    f"unreasonable JPEG dimensions {w}x{h} "
+                    f"(cap {_MAX_PIXELS} pixels)"
+                )
             comps = []
             for ci in range(nc):
                 cid, hv, tq = struct.unpack_from("BBB", seg, 6 + 3 * ci)
-                comps.append(
-                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
-                )
+                sh, sv = hv >> 4, hv & 0x0F
+                if not (1 <= sh <= 4 and 1 <= sv <= 4):
+                    raise ValueError(
+                        f"invalid sampling factors {sh}x{sv}"
+                    )
+                comps.append({"id": cid, "h": sh, "v": sv, "tq": tq})
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
@@ -569,21 +604,22 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
-            if not dc_tabs and not ac_tabs:
-                # omitted-DHT convention (common for MJPEG-in-AVI): the
-                # Annex K tables are implied — 0 = luma, 1 = chroma
-                dc_tabs[0] = _build_huff_decode(_DC_LUMA_BITS, _DC_LUMA_VALS)
-                ac_tabs[0] = _build_huff_decode(_AC_LUMA_BITS, _AC_LUMA_VALS)
-                dc_tabs[1] = _build_huff_decode(
-                    _DC_CHROMA_BITS, _DC_CHROMA_VALS)
-                ac_tabs[1] = _build_huff_decode(
-                    _AC_CHROMA_BITS, _AC_CHROMA_VALS)
             ns = seg[0]
             scan = []
+            ddc, dac = _default_huff_tables()
             for si in range(ns):
                 cs, tdta = seg[1 + 2 * si], seg[2 + 2 * si]
                 comp = next(c for c in comps if c["id"] == cs)
-                scan.append((comp, tdta >> 4, tdta & 0x0F))
+                td, ta = tdta >> 4, tdta & 0x0F
+                # omitted/partial-DHT convention (common for MJPEG-in-AVI):
+                # any table id the stream references but never defined is
+                # the implied Annex K table — filled PER id, so a stream
+                # carrying only its luma DHT still decodes
+                if td not in dc_tabs and td in ddc:
+                    dc_tabs[td] = ddc[td]
+                if ta not in ac_tabs and ta in dac:
+                    ac_tabs[ta] = dac[ta]
+                scan.append((comp, td, ta))
             pos += seglen
             return _decode_scan(
                 data, pos, h, w, comps, scan, qts, dc_tabs, ac_tabs,

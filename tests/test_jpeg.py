@@ -149,3 +149,45 @@ def test_quant_table_raster_semantics():
     d = decode_jpeg(encode_jpeg(img, 50))
     err = np.abs(d[:, :, 0].astype(int) - wave.astype(int)).max()
     assert err <= 4, err
+
+
+def test_adversarial_headers_are_valueerror():
+    """Zero sampling factors and absurd SOF dimensions must be ValueError
+    poison rows, never ZeroDivisionError / a multi-GB allocation."""
+    import struct as _s
+
+    data = bytearray(encode_jpeg(_gradient(8, 8), 90))
+    sof = data.find(b"\xff\xc0")
+    # sampling byte of component 1 lives at sof+2(marker)+2(len)+6+1
+    samp_off = sof + 4 + 6 + 1
+    bad = bytearray(data)
+    bad[samp_off] = 0x00
+    with pytest.raises(ValueError, match="sampling"):
+        decode_jpeg(bytes(bad))
+    bad = bytearray(data)
+    _s.pack_into(">HH", bad, sof + 5, 65535, 65535)  # h, w
+    with pytest.raises(ValueError, match="dimensions"):
+        decode_jpeg(bytes(bad))
+
+
+def test_partial_dht_fills_missing_ids():
+    """A stream defining only its LUMA tables still decodes: the chroma
+    ids fall back to the implied Annex K tables per id."""
+    data = encode_jpeg(_gradient(24, 16), 92)
+    out = bytearray()
+    pos = 0
+    dropped = 0
+    while pos < len(data):
+        if data[pos:pos + 2] == b"\xff\xc4":
+            import struct as _s
+
+            (seglen,) = _s.unpack_from(">H", data, pos + 2)
+            tc_th = data[pos + 4]
+            if tc_th & 0x0F == 1:  # drop only the chroma tables
+                pos += 2 + seglen
+                dropped += 1
+                continue
+        out.append(data[pos])
+        pos += 1
+    assert dropped == 2
+    assert (decode_jpeg(bytes(out)) == decode_jpeg(data)).all()
