@@ -524,8 +524,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     EOFError/KeyError and kill a Ray task."""
     try:
         return _decode_jpeg(data)
-    except (EOFError, KeyError, IndexError, StopIteration,
-            struct.error, ZeroDivisionError, MemoryError) as exc:
+    except (EOFError, KeyError, IndexError, StopIteration, struct.error,
+            ZeroDivisionError, MemoryError, OverflowError) as exc:
+        # OverflowError: corrupt Huffman symbols can run the DC predictor
+        # accumulation past int64 (fuzz-found)
         raise ValueError(
             f"malformed JPEG stream ({type(exc).__name__}: {exc})"
         ) from exc

@@ -191,3 +191,31 @@ def test_partial_dht_fills_missing_ids():
         pos += 1
     assert dropped == 2
     assert (decode_jpeg(bytes(out)) == decode_jpeg(data)).all()
+
+
+def test_decode_fuzz_error_contract():
+    """Fuzz the error contract: byte mutations, truncations, and random
+    garbage must either decode to an image or raise ValueError — never a
+    foreign exception (the poison-row guarantee). Deterministic seeds."""
+    import numpy as np
+
+    base = encode_jpeg(_gradient(16, 16), 85)
+    rng = np.random.RandomState(20260819)
+
+    def probe(data: bytes) -> None:
+        try:
+            out = decode_jpeg(data)
+        except ValueError:
+            return
+        assert out.dtype == np.uint8 and out.ndim == 3
+
+    for _ in range(150):  # k-byte mutations
+        bad = bytearray(base)
+        for _ in range(rng.randint(1, 4)):
+            bad[rng.randint(0, len(bad))] = rng.randint(0, 256)
+        probe(bytes(bad))
+    for _ in range(50):  # truncations
+        probe(base[: rng.randint(0, len(base))])
+    for _ in range(50):  # garbage with a valid SOI
+        probe(b"\xff\xd8" + bytes(rng.randint(0, 256, rng.randint(0, 200),
+                                              dtype=np.uint8)))
