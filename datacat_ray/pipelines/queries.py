@@ -136,6 +136,10 @@ from datacat_ray.pipelines.text_analysis import (
     source_cap_sample_sql,
     decontaminate,
     decontaminate_sql,
+    ngram_decontaminate,
+    ngram_decontaminate_sql,
+    temperature_mix,
+    temperature_mix_sql,
     oov_ratio,
     oov_ratio_sql,
     stratified_sample,
@@ -345,6 +349,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         # budget: the oracle equality is pytest-pinned via
         # build_retired_oracles instead
         "incremental_dedup": incremental_dedup,
+        "ngram_decontaminate": ngram_decontaminate,
+        "temperature_mix": temperature_mix,
     }
 
 
@@ -533,6 +539,12 @@ def build_retired_oracles() -> dict[str, tuple[Callable[[str], Any], str]]:
             lambda sf: multi_query_topk(sf, (0, 1, 2, 3), k=5),
             KNN_MULTI_QUERY_SQL,
         ),
+        # r5 additions past the budget: n-gram-overlap decontamination
+        # (the published GPT-3/Llama method) and temperature-0.5 source
+        # mixing (UniMax shape) — both bit-exact vs their SQL
+        "ngram_decontaminate": (ngram_decontaminate,
+                                ngram_decontaminate_sql()),
+        "temperature_mix": (temperature_mix, temperature_mix_sql()),
         "top_orders_by_segment": (top_orders_by_segment,
                                   top_orders_by_segment_sql()),
         "filter_project": (filter_project, FILTER_PROJECT_SQL),

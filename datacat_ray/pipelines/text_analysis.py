@@ -469,6 +469,199 @@ def decontaminate_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# n-gram overlap decontamination (the published GPT-3/Llama method: drop any
+# training doc sharing an n-gram with the eval set — strictly stronger than
+# the whole-document fingerprint equality of ``decontaminate``)
+# ---------------------------------------------------------------------------
+
+NGRAM_DECONTAM_N = 8  # published pipelines use 13; the driver corpus's
+# shortest docs run ~8 words, so 8 keeps every doc representable
+
+
+def _word_ngrams(text: str, n: int) -> list[str]:
+    w = (text or "").lower().split()
+    return [" ".join(w[i : i + n]) for i in range(len(w) - n + 1)]
+
+
+def ngram_decontaminate(
+    sf_dir: str, n: int = NGRAM_DECONTAM_N
+) -> "ray.data.Dataset":
+    """Surviving train doc_ids after n-gram-overlap decontamination: a
+    train doc (doc_id ≥ DECONTAM_EVAL_DOCS) drops if ANY of its word
+    n-grams appears in any eval doc (doc_id below the cut).
+
+    Scale shape: the eval side is small by construction — its distinct
+    gram STRINGS load via one pushdown-filtered read and broadcast as an
+    Arrow value_set (``ray.put`` once, read per worker through
+    ``cached_ref``); the train side streams once, each batch probed by a
+    single vectorized ``pc.is_in`` over the batch's exploded grams and a
+    cumsum segment-any fold (zero-gram docs are never hits). Strings, not
+    hashes, cross the probe — the SQL oracle compares the same strings,
+    so there is no collision caveat. At a truly large eval set this flips
+    to the bucketed anti-join shape (same pattern as
+    ``incremental_dedup``'s join mode)."""
+    import pyarrow.dataset as pads
+
+    import ray as _ray
+
+    from datacat_ray.stages.bucketed import cached_ref
+
+    dset = pads.dataset(f"{sf_dir}/documents.parquet", format="parquet")
+    ev = dset.to_table(
+        columns=["text"],
+        filter=pads.field("doc_id") < DECONTAM_EVAL_DOCS,
+    )
+    eval_grams: set[str] = set()
+    for t in ev["text"].to_pylist():
+        eval_grams.update(_word_ngrams(t, n))
+    value_set = pa.array(sorted(eval_grams), pa.string())
+    ref = _ray.put(value_set)
+
+    def _filter(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
+        grams_all: list[str] = []
+        counts = np.empty(len(ids), dtype=np.int64)
+        for k, x in enumerate(t["text"].to_pylist()):
+            g = _word_ngrams(x, n)
+            grams_all.extend(g)
+            counts[k] = len(g)
+        if grams_all:
+            hit = pc.is_in(
+                pa.array(grams_all, pa.string()), value_set=cached_ref(ref)
+            ).to_numpy(zero_copy_only=False)
+        else:
+            hit = np.zeros(0, dtype=bool)
+        cs = np.concatenate([[0], np.cumsum(hit.astype(np.int64))])
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        any_hit = (cs[starts + counts] - cs[starts]) > 0
+        keep = (ids >= DECONTAM_EVAL_DOCS) & ~any_hit
+        return pa.Table.from_pydict({"doc_id": t["doc_id"]}).filter(
+            pa.array(keep)
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        _filter, batch_format="pyarrow"
+    )
+
+
+def ngram_decontaminate_sql(n: int = NGRAM_DECONTAM_N) -> str:
+    return rf"""
+        WITH words AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(
+                       lower(coalesce(text, '')), '\s+'),
+                       x -> x <> '') AS w
+            FROM documents
+        ), grams AS (
+            SELECT doc_id,
+                   array_to_string(
+                       w[CAST(i AS INT):CAST(i + {n - 1} AS INT)], ' ') AS g
+            FROM (SELECT doc_id, w,
+                         unnest(range(1, len(w) - {n} + 2)) AS i
+                  FROM words WHERE len(w) >= {n})
+        )
+        SELECT d.doc_id FROM documents d
+        WHERE d.doc_id >= {DECONTAM_EVAL_DOCS}
+          AND NOT EXISTS (
+              SELECT 1 FROM grams t
+              WHERE t.doc_id = d.doc_id
+                AND t.g IN (SELECT g FROM grams e
+                            WHERE e.doc_id < {DECONTAM_EVAL_DOCS}))
+    """
+
+
+# ---------------------------------------------------------------------------
+# temperature-based source mixing (UniMax/CC-mix shape: upweight small
+# sources, cap at 1.0 — the standard multi-source data-mixing step)
+# ---------------------------------------------------------------------------
+
+MIX_SCALE_K = 72.0  # keep-rate scale: rate_s = min(1, K / sqrt(chars_s))
+# (72 puts the driver corpus sources at ~0.78-0.87 keep — non-vacuous,
+# and any source 1/0.6^2 = 2.8x smaller than ~5.2k chars saturates at 1)
+MIX_SEED = "mix0"
+
+
+def temperature_mix(
+    sf_dir: str, scale: float = MIX_SCALE_K, seed: str = MIX_SEED
+) -> "ray.data.Dataset":
+    """Deterministic temperature-0.5 source mixing: per-source keep rate
+    ``min(1, scale / sqrt(total_chars_s))`` — rates ∝ size^-0.5, so small
+    sources are upweighted relative to their share and large sources are
+    downsampled (the UniMax/temperature-sampling shape; ``scale`` is the
+    budget knob, a constant rather than a data-dependent normalizer so
+    every arithmetic op here — sqrt, divide, min, floor — is IEEE
+    correctly-rounded and the SQL oracle is bit-identical). A doc keeps
+    iff ``md5(seed:doc_id) % 1e6`` falls under its source's rate in
+    micros — the same hash-not-RNG determinism as ``stratified_sample``.
+
+    Scale shape: per-source totals are a tiny aggregate (|sources| rows,
+    map-side combinable); the thresholds broadcast as a dict; the corpus
+    side is one map-only streaming pass."""
+    import hashlib
+    import math
+
+    from ray.data.aggregate import Sum
+
+    import ray as _ray
+
+    from datacat_ray.stages.bucketed import cached_ref
+
+    totals = (
+        _read_documents(sf_dir, ["source", "n_chars"])
+        .groupby("source")
+        .aggregate(Sum("n_chars", alias_name="c"))
+        .take_all()
+    )
+    thr = {
+        r["source"]: int(
+            math.floor(min(1.0, scale / math.sqrt(float(r["c"]))) * 1_000_000)
+        )
+        for r in totals
+    }
+    ref = _ray.put(thr)
+
+    def _u_micros(doc_id: int) -> int:
+        d = hashlib.md5(f"{seed}:{doc_id}".encode()).digest()
+        return int.from_bytes(d[8:16], "little") % 1_000_000
+
+    def _pick(t: pa.Table) -> pa.Table:
+        th = cached_ref(ref)
+        keep = [
+            _u_micros(i) < th.get(s, 0)
+            for i, s in zip(t["doc_id"].to_pylist(), t["source"].to_pylist())
+        ]
+        return pa.Table.from_pydict(
+            {"doc_id": t["doc_id"], "source": t["source"]}
+        ).filter(pa.array(keep))
+
+    return _read_documents(sf_dir, ["doc_id", "source"]).map_batches(
+        _pick, batch_format="pyarrow"
+    )
+
+
+def temperature_mix_sql(
+    scale: float = MIX_SCALE_K, seed: str = MIX_SEED
+) -> str:
+    return f"""
+        WITH tot AS (
+            SELECT source, CAST(SUM(n_chars) AS BIGINT) AS c
+            FROM documents GROUP BY source
+        ), thr AS (
+            SELECT source,
+                   CAST(FLOOR(LEAST(1.0, {scale!r} / sqrt(CAST(c AS DOUBLE)))
+                        * 1000000) AS BIGINT) AS t
+            FROM tot
+        )
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN thr USING (source)
+        WHERE md5_number_lower('{seed}:' || CAST(d.doc_id AS VARCHAR))
+                  % 1000000 < thr.t
+    """
+
+
+# ---------------------------------------------------------------------------
 # deterministic stratified sampling
 # ---------------------------------------------------------------------------
 

@@ -49,3 +49,26 @@ def test_retired_op_matches_oracle(ray_session, con, name):
     pd.testing.assert_frame_equal(
         got, want, check_dtype=False, check_exact=True
     )
+
+
+def test_r5_mixing_ops_non_vacuous(ray_session):
+    """The oracle-equality pin above would pass even if both sides were
+    identity; assert the r5 ops actually DO something on the driver
+    corpus: n-gram decontamination drops contaminated train docs beyond
+    the eval cut, and temperature mixing downsamples every source at a
+    per-source rate."""
+    from datacat_ray.pipelines.text_analysis import (
+        DECONTAM_EVAL_DOCS,
+        ngram_decontaminate,
+        temperature_mix,
+    )
+
+    kept = {r["doc_id"] for r in ngram_decontaminate(SF).take_all()}
+    assert all(d >= DECONTAM_EVAL_DOCS for d in kept)
+    n_train = 500 - DECONTAM_EVAL_DOCS
+    assert 0 < len(kept) < n_train  # some contamination found, not all
+
+    mixed = temperature_mix(SF).take_all()
+    assert 0 < len(mixed) < 500  # non-vacuous downsampling
+    srcs = {r["source"] for r in mixed}
+    assert len(srcs) > 1  # no source is wiped out entirely
