@@ -520,6 +520,10 @@ def ngram_decontaminate(
     def _filter(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        if t.num_rows == 0:  # the segment fold below needs >=1 row
+            return pa.Table.from_pydict(
+                {"doc_id": pa.array([], pa.int64())}
+            )
         ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
         grams_all: list[str] = []
         counts = np.empty(len(ids), dtype=np.int64)

@@ -72,3 +72,45 @@ def test_r5_mixing_ops_non_vacuous(ray_session):
     assert 0 < len(mixed) < 500  # non-vacuous downsampling
     srcs = {r["source"] for r in mixed}
     assert len(srcs) > 1  # no source is wiped out entirely
+
+
+def test_ngram_decontaminate_edges(ray_session, con, tmp_path):
+    """Edge corpus: zero-gram (short) docs keep, null text keeps,
+    eval-overlapping text drops — Ray and the SQL oracle agree on all of
+    it (including the empty-batch-safe segment fold)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datacat_ray.pipelines.text_analysis import (
+        ngram_decontaminate,
+        ngram_decontaminate_sql,
+    )
+
+    t = pa.table({
+        "doc_id": pa.array(list(range(25)), pa.int64()),
+        "text": pa.array(
+            (["eval words " * 5] * 20)
+            + ["tiny", "a b c",
+               "eval words " * 5,  # contaminated train doc
+               "completely different content sharing nothing with the "
+               "eval set across all its words here",
+               None]),
+        "lang": pa.array(["en"] * 25),
+        "source": pa.array(["s"] * 25),
+        "n_chars": pa.array([10] * 25, pa.int64()),
+    })
+    pq.write_table(t, os.path.join(str(tmp_path), "documents.parquet"))
+    got = sorted(r["doc_id"] for r in ngram_decontaminate(str(tmp_path)).take_all())
+    assert got == [20, 21, 23, 24]
+    import duckdb
+
+    c2 = duckdb.connect()
+    c2.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    assert sorted(
+        x[0] for x in c2.execute(ngram_decontaminate_sql()).fetchall()
+    ) == got
