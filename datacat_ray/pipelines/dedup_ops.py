@@ -350,7 +350,7 @@ def incremental_dedup(
         def _clean(t: pa.Table) -> pa.Table:
             keep = ~bloom_maybe(cached_ref(bits_ref), _text_hash64(t["text"]))
             return pa.Table.from_pydict({"doc_id": t["doc_id"]}).filter(
-                pa.array(keep)
+                pa.array(keep, pa.bool_())
             )
 
         return new.map_batches(_clean, batch_format="pyarrow").union(shuffled)
@@ -404,7 +404,7 @@ def incremental_dedup(
         return pa.Table.from_pydict(
             {
                 "text": pc.fill_null(t["text"].combine_chunks(), "").filter(
-                    pa.array(keep)
+                    pa.array(keep, pa.bool_())
                 )
             }
         )
@@ -442,7 +442,7 @@ def incremental_dedup(
             for i in hits:
                 keep[i] = tx[int(i)].as_py() not in seen
         return pa.Table.from_pydict({"doc_id": t["doc_id"]}).filter(
-            pa.array(keep)
+            pa.array(keep, pa.bool_())
         )
 
     return new.map_batches(_final, batch_format="pyarrow")

@@ -960,7 +960,7 @@ def customers_without_urgent_orders(sf_dir: str) -> "ray.data.Dataset":
         keep = (p == 0) & (hit[run_id] == 0)
         return pa.Table.from_pydict(
             {"c_custkey": pa.array(k[keep], pa.int64()),
-             "c_name": names.filter(pa.array(keep))}
+             "c_name": names.filter(pa.array(keep, pa.bool_()))}
         )
 
     return (

@@ -264,7 +264,7 @@ def heavy_hitter_users(
         p = t.group_by(["user_id"]).aggregate([([], "count_all")])
         keys = p["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         keep = cms_estimate(sk, keys) >= min_events
-        return p.filter(pa.array(keep))
+        return p.filter(pa.array(keep, pa.bool_()))
 
     out = (
         ds.map_batches(_survivors, batch_format="pyarrow")

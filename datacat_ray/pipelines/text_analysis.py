@@ -450,7 +450,7 @@ def decontaminate(sf_dir: str) -> "ray.data.Dataset":
         b = cached_ref(ref)
         keep = [doc_fingerprint(x) not in b for x in t["text"].to_pylist()]
         return pa.Table.from_pydict({"doc_id": t["doc_id"]}).filter(
-            pa.array(keep)
+            pa.array(keep, pa.bool_())
         )
 
     return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
@@ -542,7 +542,7 @@ def ngram_decontaminate(
         any_hit = (cs[starts + counts] - cs[starts]) > 0
         keep = (ids >= DECONTAM_EVAL_DOCS) & ~any_hit
         return pa.Table.from_pydict({"doc_id": t["doc_id"]}).filter(
-            pa.array(keep)
+            pa.array(keep, pa.bool_())
         )
 
     return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
@@ -638,7 +638,7 @@ def temperature_mix(
         ]
         return pa.Table.from_pydict(
             {"doc_id": t["doc_id"], "source": t["source"]}
-        ).filter(pa.array(keep))
+        ).filter(pa.array(keep, pa.bool_()))
 
     return _read_documents(sf_dir, ["doc_id", "source"]).map_batches(
         _pick, batch_format="pyarrow"
@@ -692,7 +692,7 @@ def stratified_sample(sf_dir: str) -> "ray.data.Dataset":
         ]
         return pa.Table.from_pydict(
             {"doc_id": t["doc_id"], "lang": t["lang"]}
-        ).filter(pa.array(keep))
+        ).filter(pa.array(keep, pa.bool_()))
 
     return ds.map_batches(_pick, batch_format="pyarrow")
 
@@ -2121,7 +2121,7 @@ def token_budget_head(
         keep = cum <= budget
         return pa.Table.from_pydict(
             {
-                "doc_id": t["doc_id"].filter(pa.array(keep)),
+                "doc_id": t["doc_id"].filter(pa.array(keep, pa.bool_())),
                 "n_tokens": pa.array(n[keep], pa.int64()),
                 "cum_tokens": pa.array(cum[keep], pa.int64()),
             }
