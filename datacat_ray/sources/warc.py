@@ -176,6 +176,8 @@ class WarcDatasource:
 
             def _read_stream(self, f, path):
                 import gzip as _gz
+                import logging
+                import zlib
 
                 head = f.read(2)
                 buffered = io.BufferedReader(_RawChain(head, f))
@@ -184,7 +186,26 @@ class WarcDatasource:
                 else:
                     stream = buffered
                 batch: list[dict] = []
-                for rec in iter_warc_records(stream):
+                n_ok = 0
+                records = iter_warc_records(stream)
+                while True:
+                    try:
+                        rec = next(records)
+                    except StopIteration:
+                        break
+                    except (EOFError, OSError, zlib.error) as exc:
+                        # truncated/corrupt gzip member mid-segment — a
+                        # real Common-Crawl failure mode. Keep the readable
+                        # prefix (framing past the corruption is gone)
+                        # instead of killing the read task.
+                        logging.getLogger(__name__).warning(
+                            "WARC segment %s truncated/corrupt after %d "
+                            "records (%s: %s) — keeping the readable "
+                            "prefix", path, n_ok,
+                            type(exc).__name__, exc,
+                        )
+                        break
+                    n_ok += 1
                     batch.append(rec)
                     if len(batch) >= records_per_block:
                         yield _records_table(batch)

@@ -319,3 +319,38 @@ def test_warc_flagship_identity_pinned_to_parquet_path(ray_session, tmp_path):
             assert g[col] == w[col], (url, col)
         for col in ("tei", "tei_body"):
             assert _no_lang(g[col]) == _no_lang(w[col]), (url, col)
+
+
+def test_corrupt_gzip_segment_keeps_readable_prefix(ray_session, tmp_path):
+    """A truncated or corrupt gzip member mid-segment (a real
+    Common-Crawl failure mode) must not kill the read task: the readable
+    prefix of the segment survives, the rest is dropped with a warning."""
+    recs, _ = _records(31, 12)
+    good = tmp_path / "good.warc.gz"
+    write_warc(str(good), recs)
+    data = good.read_bytes()
+
+    # truncation: cut inside the LAST gzip member
+    trunc = tmp_path / "trunc.warc.gz"
+    trunc.write_bytes(data[: len(data) - 200])
+    got = read_warc([str(trunc)]).take_all()
+    assert 0 < len(got) < 12
+    by_url = {r["url"]: r for r in got}
+    for r in got:  # surviving records are intact
+        assert by_url[r["url"]]["html"] == next(
+            x["html"] for x in recs if x["url"] == r["url"]
+        )
+
+    # corruption: flip bytes mid-file (deflate stream breaks)
+    corr = bytearray(data)
+    mid = len(data) // 2
+    for i in range(mid, mid + 8):
+        corr[i] ^= 0xFF
+    bad = tmp_path / "bad.warc.gz"
+    bad.write_bytes(bytes(corr))
+    got2 = read_warc([str(bad)]).take_all()
+    assert len(got2) < 12  # prefix only — and no raise
+
+    # a corrupt segment alongside a good one: the good one is unaffected
+    both = read_warc([str(bad), str(good)]).take_all()
+    assert len(both) >= 12
