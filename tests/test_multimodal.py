@@ -205,3 +205,57 @@ def test_image_assets_quote_aware_attrs():
     assert extract_image_assets('<img alt="x" SRC=bare.png />', 3) == [
         "bare.png"
     ]
+
+
+def test_sampler_fuzz_poison_row_contract(ray_session):
+    """Fuzz every sampler's decode path: mutated valid payloads and raw
+    garbage must become poison rows, never an exception out of
+    __call__ (one bad document must not kill a Ray task). Deterministic
+    seeds; both video codecs covered with ffmpeg forced off."""
+    import numpy as np
+
+    import datacat_ray.functions.avi as A
+    import pyarrow as pa
+
+    from datacat_ray.functions.png import encode_png
+    from datacat_ray.pipelines.multimodal import (
+        AudioFrameSampler,
+        ImageDecoder,
+        VideoFrameSampler,
+        make_fake_audio,
+        make_fake_video,
+    )
+
+    rng = np.random.RandomState(42)
+
+    def mutate(b):
+        x = bytearray(b)
+        for _ in range(rng.randint(1, 5)):
+            x[rng.randint(0, len(x))] = rng.randint(0, 256)
+        return bytes(x)
+
+    cases = (
+        ("image", ImageDecoder(),
+         encode_png(rng.randint(0, 256, (12, 9, 3), dtype=np.uint8))),
+        ("audio", AudioFrameSampler(), make_fake_audio(3)),
+        ("video", VideoFrameSampler(), make_fake_video(1)),  # BI_RGB
+        ("video", VideoFrameSampler(), make_fake_video(2)),  # MJPEG
+    )
+    old = A._FFMPEG
+    A._FFMPEG = False
+    try:
+        for col, sampler, base in cases:
+            for i in range(80):
+                payload = (
+                    mutate(base) if i < 60
+                    else bytes(rng.randint(0, 256, rng.randint(0, 150),
+                               dtype=np.uint8))
+                )
+                t = pa.table({
+                    "doc_id": pa.array([1], pa.int64()),
+                    col: pa.array([payload], pa.binary()),
+                })
+                out = sampler(t)  # must not raise
+                assert out.num_rows == 1
+    finally:
+        A._FFMPEG = old
