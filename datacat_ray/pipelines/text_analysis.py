@@ -520,10 +520,8 @@ def ngram_decontaminate(
     def _filter(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        if t.num_rows == 0:  # the segment fold below needs >=1 row
-            return pa.Table.from_pydict(
-                {"doc_id": pa.array([], pa.int64())}
-            )
+        # empty batches are fine: shape-(1,) starts broadcasts with
+        # shape-(0,) counts to an empty any_hit, and the mask is typed
         ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
         grams_all: list[str] = []
         counts = np.empty(len(ids), dtype=np.int64)
@@ -2199,7 +2197,7 @@ def corpus_prep(sf_dir: str) -> "ray.data.Dataset":
             keeps.append(ok)
             n_toks.append(n)
         t = t.append_column("n_tokens", pa.array(n_toks, pa.int64()))
-        t = t.filter(pa.array(keeps))
+        t = t.filter(pa.array(keeps, pa.bool_()))
         h = (
             pl.from_arrow(
                 pc.fill_null(t["text"].combine_chunks(), "")

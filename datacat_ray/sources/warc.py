@@ -174,35 +174,78 @@ class WarcDatasource:
         class _Impl(FileBasedDatasource):
             _FILE_EXTENSIONS = None  # accept any listed path
 
+            def _open_input_source(self, filesystem, path, **open_args):
+                # RAW bytes, always: the base class force-detects gzip
+                # from the .gz extension and lets Arrow decompress, which
+                # turns a damaged member into an opaque OSError — fatal
+                # and indistinguishable from a retryable transport error.
+                # Decompression lives in _read_stream, where damage is a
+                # typed, member-resyncable condition.
+                open_args.pop("compression", None)
+                buffer_size = open_args.pop("buffer_size", None)
+                if buffer_size is None:
+                    buffer_size = self._data_context.streaming_read_buffer_size
+                return filesystem.open_input_stream(
+                    path, buffer_size=buffer_size, compression=None,
+                    **open_args,
+                )
+
             def _read_stream(self, f, path):
-                import gzip as _gz
                 import logging
                 import zlib
 
                 head = f.read(2)
                 buffered = io.BufferedReader(_RawChain(head, f))
-                if head == b"\x1f\x8b":
-                    stream = _gz.GzipFile(fileobj=buffered)
-                else:
-                    stream = buffered
+                is_gz = head == b"\x1f\x8b"
+                gzraw = _GzipMemberStream(buffered) if is_gz else None
+                records = (
+                    _gz_record_iter(gzraw) if is_gz
+                    else iter_warc_records(buffered)
+                )
                 batch: list[dict] = []
                 n_ok = 0
-                records = iter_warc_records(stream)
+                n_resync = 0
+                log = logging.getLogger(__name__)
+
+                def _try_resync(why: str) -> bool:
+                    nonlocal records, n_resync
+                    if (not is_gz or n_resync >= _MAX_GZ_RESYNC
+                            or not gzraw.resync()):
+                        return False
+                    n_resync += 1
+                    log.warning(
+                        "WARC segment %s: %s after %d records — resynced "
+                        "to the next gzip member", path, why, n_ok,
+                    )
+                    records = _gz_record_iter(gzraw)
+                    return True
+
                 while True:
                     try:
                         rec = next(records)
                     except StopIteration:
+                        # clean end — unless compressed input remains
+                        # (a member decompressed to garbage framing);
+                        # then skip to the next member and keep going
+                        if is_gz and not gzraw.eof and _try_resync(
+                                "garbage record framing"):
+                            continue
                         break
-                    except (EOFError, OSError, zlib.error) as exc:
-                        # truncated/corrupt gzip member mid-segment — a
-                        # real Common-Crawl failure mode. Keep the readable
-                        # prefix (framing past the corruption is gone)
-                        # instead of killing the read task.
-                        logging.getLogger(__name__).warning(
+                    # deliberately NOT bare OSError: a transport I/O error
+                    # (flaky FS / object store) must fail the task so Ray
+                    # retries it — only decompression-level damage is a
+                    # property of the data itself. The CC layout is one
+                    # gzip MEMBER per record, so everything after a
+                    # damaged member is independently decompressible.
+                    except (EOFError, zlib.error) as exc:
+                        if _try_resync(
+                                f"damaged gzip member "
+                                f"({type(exc).__name__}: {exc})"):
+                            continue
+                        log.warning(
                             "WARC segment %s truncated/corrupt after %d "
                             "records (%s: %s) — keeping the readable "
-                            "prefix", path, n_ok,
-                            type(exc).__name__, exc,
+                            "prefix", path, n_ok, type(exc).__name__, exc,
                         )
                         break
                     n_ok += 1
@@ -214,6 +257,96 @@ class WarcDatasource:
                     yield _records_table(batch)
 
         return _Impl(paths)
+
+
+_MAX_GZ_RESYNC = 1000  # runaway guard: a file of pure noise full of
+# false \x1f\x8b magics must not spin forever
+
+
+class _GzipMemberStream(io.RawIOBase):
+    """Streaming multi-member gzip decompressor with BYTE-EXACT input
+    tracking, built on ``zlib.decompressobj(31)``. ``gzip.GzipFile``
+    buffers compressed input ahead internally, so after a mid-member
+    error the underlying stream position is far past the damage and every
+    member sitting in that lost read-ahead is unrecoverable; this class
+    always knows exactly which compressed bytes are unconsumed
+    (``unconsumed_tail``/``unused_data``), so ``resync()`` can scan them
+    for the next member magic and resume — the per-member framing of the
+    Common-Crawl layout makes everything after a damaged member
+    independently decompressible. Raises ``zlib.error`` on damage and
+    ``EOFError`` on truncation; both are resync-able."""
+
+    _CHUNK = 1 << 16
+
+    def __init__(self, raw) -> None:
+        self._raw = raw
+        self._buf = b""  # compressed, fetched but not yet consumed
+        self._obj: "zlib._Decompress | None" = None  # None = at boundary
+        self.eof = False
+
+    def readable(self) -> bool:
+        return True
+
+    def close(self) -> None:
+        # intentionally a no-op: every resync discards its BufferedReader
+        # view, whose GC would otherwise close this shared stream out from
+        # under the replacement view ("readline of closed file"). The
+        # underlying file's lifetime belongs to the datasource.
+        pass
+
+    def readinto(self, b) -> int:
+        import zlib
+
+        while True:
+            if self.eof:
+                return 0
+            if not self._buf:
+                self._buf = self._raw.read(self._CHUNK) or b""
+            if self._obj is None:
+                if not self._buf:
+                    self.eof = True
+                    return 0
+                self._obj = zlib.decompressobj(31)
+            if not self._buf:
+                # mid-member EOF: the member is truncated
+                raise EOFError("truncated gzip member at EOF")
+            out = self._obj.decompress(self._buf, len(b))
+            if self._obj.eof:  # member finished cleanly
+                self._buf = self._obj.unused_data
+                self._obj = None
+            else:
+                self._buf = self._obj.unconsumed_tail
+            if out:
+                n = len(out)
+                b[:n] = out
+                return n
+
+    def resync(self) -> bool:
+        """After a decode error: drop decoder state and advance the
+        compressed stream to the next member magic. False at EOF."""
+        self._obj = None
+        self.eof = False
+        while True:
+            # the error-raising decompress call left self._buf unchanged
+            # (zlib consumed nothing on failure), so the damaged member's
+            # bytes are still here — skip its magic and scan forward
+            idx = self._buf.find(b"\x1f\x8b", 1)
+            if idx >= 0:
+                self._buf = self._buf[idx:]
+                return True
+            tail = self._buf[-1:]
+            nxt = self._raw.read(self._CHUNK)
+            if not nxt:
+                self._buf = b""
+                self.eof = True
+                return False
+            self._buf = tail + nxt
+
+
+def _gz_record_iter(gzraw: _GzipMemberStream):
+    """iter_warc_records over a fresh buffered view of ``gzraw`` (the old
+    view's decompressed read-ahead belongs to the damaged record)."""
+    return iter_warc_records(io.BufferedReader(gzraw))
 
 
 class _RawChain(io.RawIOBase):

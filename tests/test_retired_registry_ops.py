@@ -74,7 +74,7 @@ def test_r5_mixing_ops_non_vacuous(ray_session):
     assert len(srcs) > 1  # no source is wiped out entirely
 
 
-def test_ngram_decontaminate_edges(ray_session, con, tmp_path):
+def test_ngram_decontaminate_edges(ray_session, tmp_path):
     """Edge corpus: zero-gram (short) docs keep, null text keeps,
     eval-overlapping text drops — Ray and the SQL oracle agree on all of
     it (including the empty-batch-safe segment fold)."""
